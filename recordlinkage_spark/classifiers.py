@@ -1,0 +1,443 @@
+"""Classifiers over feature DataFrames (id_1, id_2, f_*...).
+
+Reference lifecycle (recordlinkage/base.py:853-1072): fit on a feature
+matrix (+ optional truth pairs), predict -> matched pairs, prob -> P(match).
+Output contract here: a DataFrame (id_1, id_2, score double, label int);
+the reference's three return_type options collapse to column selection.
+
+Design principle (SURVEY.md §3.3): the learners' sufficient statistics are
+TINY after a groupBy — with c binary/discrete features there are <= prod(k_i)
+distinct vectors, so ``features.groupBy(*cols).count()`` collects a handful
+of rows to the driver; the EM / counting math runs in numpy exactly as the
+reference kernel (recordlinkage/algorithms/nb_sklearn.py), and the fitted
+log-probabilities are broadcast back as a column expression. No distributed
+learning, no pyspark.ml dependency, bit-compatible math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAIR = ["id_1", "id_2"]
+
+
+def _feature_cols(features: DataFrame) -> list[str]:
+    return [c for c in features.columns if c not in PAIR]
+
+
+class BaseClassifier:
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        raise NotImplementedError
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def fit_predict(self, features: DataFrame, truth: DataFrame | None = None) -> DataFrame:
+        self.fit(features, truth)
+        return self.predict(features)
+
+
+class ThresholdClassifier(BaseClassifier):
+    """Deterministic rule: score = weighted sum of features; match iff
+    score >= threshold. The reference achieves this via LogisticRegression
+    with manual coefficients (examples/dedup_deterministic.py:57-67); this
+    is the direct form. Pure column math, zero shuffles."""
+
+    def __init__(self, threshold: float, weights: dict[str, float] | None = None):
+        self.threshold = threshold
+        self.weights = weights
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        return self
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        cols = _feature_cols(features)
+        w = self.weights or {c: 1.0 for c in cols}
+        score = None
+        for c, wi in w.items():
+            term = F.col(c) * F.lit(float(wi))
+            score = term if score is None else score + term
+        return features.select(
+            *PAIR,
+            score.alias("score"),
+            (score >= F.lit(float(self.threshold))).cast("int").alias("label"),
+        )
+
+
+class LogisticRegressionClassifier(BaseClassifier):
+    """Logistic regression; deterministic-linkage mode via manually set
+    coefficients + intercept (recordlinkage/classifiers.py:301-427,
+    manual params classifiers.py:342-391). Trained mode: full-batch
+    Newton/IRLS on the driver over the aggregated unique-vector table —
+    the same sufficient-statistics trick as ECM."""
+
+    def __init__(self, coefficients=None, intercept: float = 0.0, max_iter: int = 100):
+        self.coefficients = None if coefficients is None else np.asarray(coefficients, float)
+        self.intercept = float(intercept)
+        self.max_iter = max_iter
+        self._cols: list[str] | None = None
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        self._cols = _feature_cols(features)
+        if truth is None:
+            if self.coefficients is None:
+                raise ValueError(
+                    "supervised fit needs truth pairs; or set coefficients/intercept "
+                    "for the deterministic mode"
+                )
+            return self  # manual mode: nothing to learn
+        # label each pair by membership in the truth set (base.py:912-926)
+        labeled = features.join(
+            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
+        ).fillna({"_y": 0})
+        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
+        if not any(r["_y"] == 1 for r in grouped):
+            raise ValueError("training data has zero matches (base.py:916-922)")
+        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
+        y = np.array([float(r["_y"]) for r in grouped])
+        wts = np.array([float(r["count"]) for r in grouped])
+        beta = np.zeros(X.shape[1] + 1)
+        Xb = np.hstack([np.ones((len(X), 1)), X])
+        for _ in range(self.max_iter):
+            p = 1.0 / (1.0 + np.exp(-Xb @ beta))
+            grad = Xb.T @ (wts * (y - p))
+            W = wts * p * (1 - p) + 1e-9
+            H = (Xb * W[:, None]).T @ Xb + 1e-6 * np.eye(Xb.shape[1])
+            step = np.linalg.solve(H, grad)
+            beta += step
+            if np.max(np.abs(step)) < 1e-8:
+                break
+        self.intercept = float(beta[0])
+        self.coefficients = beta[1:]
+        return self
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        cols = self._cols or _feature_cols(features)
+        if self.coefficients is None:
+            raise ValueError("not fitted and no manual coefficients")
+        z = F.lit(self.intercept)
+        for c, w in zip(cols, self.coefficients):
+            z = z + F.col(c) * F.lit(float(w))
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return features.select(
+            *PAIR, score.alias("score"), (score > 0.5).cast("int").alias("label")
+        )
+
+
+def _binarizers(X_unique: np.ndarray):
+    """Per-column distinct values (sorted), reference LabelBinarizer
+    semantics (nb_sklearn.py:196-257): 1 class -> one inverted indicator,
+    2 classes -> [1-X, X], k>2 -> one-hot in sorted order."""
+    return [np.unique(X_unique[:, i]) for i in range(X_unique.shape[1])]
+
+
+def _binarize(X: np.ndarray, classes_list) -> np.ndarray:
+    parts = []
+    for i, classes in enumerate(classes_list):
+        col = X[:, i]
+        if classes.shape[0] == 1:
+            ind = (col == classes[0]).astype(float).reshape(-1, 1)
+            parts.append(1 - ind)
+        elif classes.shape[0] == 2:
+            ind = (col == classes[1]).astype(float).reshape(-1, 1)
+            parts.append(1 - ind)
+            parts.append(ind)
+        else:
+            parts.append((col[:, None] == classes[None, :]).astype(float))
+    return np.concatenate(parts, axis=1)
+
+
+class _NBModel:
+    """Shared scoring for NB-family models: JLL = X_bin·log_probᵀ + prior,
+    posterior via logsumexp (nb_sklearn.py:118-177)."""
+
+    classes_list = None
+    feature_log_prob_ = None  # (2, n_bin_features)
+    class_log_prior_ = None   # (2,)
+    _cols: list[str] | None = None
+
+    def _jll(self, X: np.ndarray) -> np.ndarray:
+        X_bin = _binarize(X, self.classes_list)
+        return X_bin @ self.feature_log_prob_.T + self.class_log_prior_
+
+    def _posterior_match(self, X: np.ndarray) -> np.ndarray:
+        jll = self._jll(X)
+        mx = jll.max(axis=1, keepdims=True)
+        lse = mx[:, 0] + np.log(np.exp(jll - mx).sum(axis=1))
+        return np.exp(jll[:, 1] - lse)
+
+    def _score_df(self, features: DataFrame) -> DataFrame:
+        """Broadcast the fitted model: score every pair with a join against
+        the (tiny) unique-vector score table — one broadcast hash join, no
+        Python in the hot path."""
+        cols = self._cols
+        uniq = features.select(*cols).distinct().collect()
+        X = np.array([[float(r[c]) for c in cols] for r in uniq])
+        if len(X) == 0:
+            return features.select(
+                *PAIR, F.lit(0.0).alias("score"), F.lit(0).alias("label")
+            )
+        post = self._posterior_match(X)
+        jll = self._jll(X)
+        pred = (jll.argmax(axis=1) == 1).astype(int)
+        spark = features.sparkSession
+        rows = [
+            (*[float(x) for x in X[i]], float(post[i]), int(pred[i]))
+            for i in range(len(X))
+        ]
+        schema = ", ".join([f"`{c}` double" for c in cols]) + ", score double, label int"
+        score_tbl = spark.createDataFrame(rows, schema)
+        out = features
+        for c in cols:
+            out = out.withColumn(c, F.col(c).cast("double"))
+        return out.join(F.broadcast(score_tbl), on=cols, how="left").select(
+            *PAIR, "score", "label"
+        )
+
+
+class NaiveBayesClassifier(BaseClassifier, _NBModel):
+    """Supervised Bernoulli-style NB over label-binarized features,
+    Laplace alpha (default 1e-4) — recordlinkage/classifiers.py:430-473,
+    kernel nb_sklearn.py:268-430. Counts come from one distributed
+    groupBy(label, features).count(); smoothing/log-probs in numpy."""
+
+    def __init__(self, alpha: float = 1e-4):
+        self.alpha = alpha
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        if truth is None:
+            raise ValueError("NaiveBayesClassifier is supervised: truth required")
+        self._cols = _feature_cols(features)
+        labeled = features.join(
+            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
+        ).fillna({"_y": 0})
+        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
+        if not any(r["_y"] == 1 for r in grouped):
+            raise ValueError("training data has zero matches (base.py:916-922)")
+        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
+        y = np.array([int(r["_y"]) for r in grouped])
+        wts = np.array([float(r["count"]) for r in grouped])
+        self.classes_list = _binarizers(X)
+        X_bin = _binarize(X, self.classes_list)
+        # class-conditional weighted counts (nb_sklearn.py:306-310)
+        fc = np.vstack([
+            (X_bin * (wts * (y == 0))[:, None]).sum(axis=0),
+            (X_bin * (wts * (y == 1))[:, None]).sum(axis=0),
+        ])
+        cc = np.array([wts[y == 0].sum(), wts[y == 1].sum()])
+        smoothed_fc = fc + self.alpha
+        smoothed_cc = cc + self.alpha * 2
+        self.feature_log_prob_ = np.log(smoothed_fc) - np.log(smoothed_cc.reshape(-1, 1))
+        self.class_log_prior_ = np.log(cc) - np.log(cc.sum())
+        return self
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        return self._score_df(features)
+
+
+class ECMClassifier(BaseClassifier, _NBModel):
+    """Unsupervised Fellegi–Sunter via Expectation/Conditional Maximisation
+    — the reference's flagship (recordlinkage/classifiers.py:515-585,
+    kernel nb_sklearn.py:433-669).
+
+    Spark execution (SURVEY.md §3.3): ``groupBy(features).count()`` gives
+    the unique-vector table (<= 2^c rows for c binary features) collected to
+    the driver; the EM loop below reproduces the reference math exactly
+    (init 'jaro': prior [0.9, 0.1], per-indicator m=0.9/u=0.1,
+    nb_sklearn.py:510-534; E-step posterior per unique vector :593-595;
+    M-step frequency-weighted re-estimates :597-601; converge via allclose
+    in prob space, atol, :606-619; NaN guard :624-630). Scoring broadcasts
+    the fitted log-probs back as a broadcast join on the feature columns.
+    """
+
+    def __init__(self, init: str = "jaro", max_iter: int = 100, atol: float = 1e-4,
+                 random_state=None):
+        self.init = init
+        self.max_iter = max_iter
+        self.atol = atol
+        self.random_state = random_state
+        self.n_iter_ = 0
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        self._cols = _feature_cols(features)
+        grouped = features.groupBy(*self._cols).count().collect()
+        X_unique = np.array([[float(r[c]) for c in self._cols] for r in grouped])
+        freq = np.array([float(r["count"]) for r in grouped])
+        n_total = freq.sum()
+        self.classes_list = _binarizers(X_unique)
+        X_bin = _binarize(X_unique, self.classes_list)
+
+        if self.init == "jaro":
+            for i, classes in enumerate(self.classes_list):
+                if classes.shape[0] > 2:
+                    raise ValueError(
+                        f"Only binary labels are allowed for 'jaro' init; "
+                        f"column {self._cols[i]} has {classes.shape[0]} labels"
+                    )
+            class_prior = np.array([0.9, 0.1])
+            fp = []
+            for classes in self.classes_list:
+                for c in classes:
+                    # indicator for value 1 -> [u=0.1, m=0.9]; value 0 -> [0.9, 0.1]
+                    fp.append([0.1, 0.9] if c == 1 else [0.9, 0.1])
+            feature_prob = np.array(fp).T
+        elif self.init == "random":
+            rng = np.random.RandomState(self.random_state)
+            rv = rng.rand(2)
+            class_prior = rv / rv.sum()
+            cols_prob = []
+            for classes in self.classes_list:
+                k = classes.shape[0]
+                r0 = rng.rand(k)
+                r1 = rng.rand(k)
+                cols_prob.append(np.vstack([r0 / r0.sum(), r1 / r1.sum()]))
+            feature_prob = np.hstack(cols_prob)
+        else:
+            raise ValueError(f"'{self.init}' is not a valid init")
+
+        self.class_log_prior_ = np.log(class_prior)
+        self.feature_log_prob_ = np.log(feature_prob)
+
+        for it in range(1, self.max_iter + 1):
+            self.n_iter_ = it
+            # E-step: posterior per unique vector
+            jll = X_bin @ self.feature_log_prob_.T + self.class_log_prior_
+            mx = jll.max(axis=1, keepdims=True)
+            g = np.exp(jll - (mx + np.log(np.exp(jll - mx).sum(axis=1, keepdims=True))))
+            g_freq = g * freq[:, None]
+            g_freq_sum = g_freq.sum(axis=0)
+            # M-step
+            with np.errstate(divide="ignore", invalid="ignore"):
+                class_log_prior = np.log(g_freq_sum) - np.log(n_total)
+                feature_log_prob = np.log(g_freq.T @ X_bin) - np.log(g_freq_sum[:, None])
+            close = np.allclose(
+                np.exp(class_log_prior), np.exp(self.class_log_prior_), atol=self.atol
+            ) and np.allclose(
+                np.exp(feature_log_prob), np.exp(self.feature_log_prob_), atol=self.atol
+            )
+            if np.all(np.isnan(feature_log_prob)):
+                break  # NaN guard (nb_sklearn.py:624-630)
+            self.class_log_prior_ = class_log_prior
+            self.feature_log_prob_ = feature_log_prob
+            if close:
+                break
+        return self
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        return self._score_df(features)
+
+    # --- Fellegi–Sunter parameter views (classifiers.py:13-182) ----------
+    @property
+    def p(self) -> float:
+        """Prior P(match)."""
+        return float(np.exp(self.class_log_prior_[1]))
+
+    def _probs_for_value_one(self, class_idx: int) -> dict[str, float]:
+        out = {}
+        pos = 0
+        for col, classes in zip(self._cols, self.classes_list):
+            k = classes.shape[0]
+            width = 2 if k <= 2 else k
+            probs = np.exp(self.feature_log_prob_[class_idx, pos : pos + width])
+            if k == 1:
+                out[col] = float(probs[0]) if classes[0] == 1 else 0.0
+            elif k == 2:
+                # second indicator corresponds to the larger class value
+                idx = int(np.where(classes == 1)[0][0]) if 1 in classes else 1
+                out[col] = float(probs[idx])
+            else:
+                out[col] = {float(cv): float(pv) for cv, pv in zip(classes, probs)}
+            pos += width
+        return out
+
+    @property
+    def m_probs(self) -> dict:
+        """P(feature agrees | match) per column."""
+        return self._probs_for_value_one(1)
+
+    @property
+    def u_probs(self) -> dict:
+        """P(feature agrees | non-match) per column."""
+        return self._probs_for_value_one(0)
+
+
+class KMeansClassifier(BaseClassifier):
+    """Unsupervised 2-cluster KMeans, init centers fixed at 0.05/0.95 per
+    feature (recordlinkage/classifiers.py:185-298, n_init=1) — deterministic
+    given the fixed init. Distributed Lloyd: centers broadcast as column
+    expressions, assignment + groupBy().avg() per iteration; k=2 so each
+    iteration is one cheap aggregation."""
+
+    def __init__(self, match_cluster_center=None, nonmatch_cluster_center=None,
+                 max_iter: int = 300, tol: float = 1e-6):
+        self.match_cluster_center = match_cluster_center
+        self.nonmatch_cluster_center = nonmatch_cluster_center
+        self.max_iter = max_iter
+        self.tol = tol
+        self._cols: list[str] | None = None
+
+    def _dist2(self, center: np.ndarray):
+        expr = F.lit(0.0)
+        for c, v in zip(self._cols, center):
+            expr = expr + F.pow(F.col(c) - F.lit(float(v)), F.lit(2.0))
+        return expr
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        self._cols = _feature_cols(features)
+        d = len(self._cols)
+        if self.match_cluster_center is not None and self.nonmatch_cluster_center is not None:
+            self._centers = np.array(
+                [self.nonmatch_cluster_center, self.match_cluster_center], float
+            )
+            return self
+        centers = np.array([[0.05] * d, [0.95] * d])  # classifiers.py:251-260
+        for _ in range(self.max_iter):
+            assign = features.select(
+                *[F.col(c).cast("double") for c in self._cols],
+                F.when(self._dist2(centers[0]) <= self._dist2(centers[1]), 0)
+                .otherwise(1)
+                .alias("_k"),
+            )
+            rows = assign.groupBy("_k").agg(
+                *[F.avg(c).alias(c) for c in self._cols],
+                F.count("*").alias("_n"),
+            ).collect()
+            new = centers.copy()
+            for r in rows:
+                new[r["_k"]] = [r[c] for c in self._cols]
+            if np.allclose(new, centers, atol=self.tol):
+                centers = new
+                break
+            centers = new
+        self._centers = centers
+        self.match_cluster_center = centers[1]
+        self.nonmatch_cluster_center = centers[0]
+        return self
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        d0 = self._dist2(self._centers[0])
+        d1 = self._dist2(self._centers[1])
+        return features.select(
+            *PAIR,
+            (d0 - d1).alias("score"),  # >0 means closer to match center
+            F.when(d1 < d0, 1).otherwise(0).alias("label"),
+        )
+
+    def prob(self, *a, **kw):
+        raise AttributeError(
+            "It is not possible to compute probabilities for the KMeansClassifier"
+        )
+
+
+class SVMClassifier(LogisticRegressionClassifier):
+    """Linear max-margin classifier (reference: sklearn LinearSVC,
+    recordlinkage/classifiers.py:476-512). Without sklearn we fit a linear
+    decision boundary by L2-regularized logistic regression on the same
+    sufficient statistics — an equivalent linear separator surface; no
+    probability output in the reference, so ``predict`` drops the score."""
+
+    def predict(self, features: DataFrame) -> DataFrame:
+        out = super().predict(features)
+        return out.select(*PAIR, "label")

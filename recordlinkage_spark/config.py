@@ -1,0 +1,89 @@
+"""Engine configuration + SparkSession helpers.
+
+The reference uses a pandas-style global option registry
+(recordlinkage/config.py:145-241); we use a plain dataclass — no global
+mutable state, config travels with the pipeline object.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for the dedup engine, sized for web-scale runs.
+
+    At 10^12 docs these all matter; defaults here are sane for local mode
+    and documented with their scale-up story.
+    """
+
+    # --- MinHash / LSH (the web-scale index pass) -------------------------
+    num_perm: int = 128          # MinHash signature length k = bands * rows
+    lsh_bands: int = 32          # b bands -> s-curve threshold ~ (1/b)^(1/r)
+    lsh_rows: int = 4            # r rows per band
+    shingle_size: int = 3        # word n-gram size for shingling
+    char_shingles: bool = False  # char n-grams instead of word n-grams
+    # Cap on LSH bucket size: webtext boilerplate produces mega-buckets that
+    # would explode quadratically; buckets above the cap are truncated and
+    # the truncation is logged to the metrics table (SURVEY.md §4.1).
+    max_bucket_size: int = 2000
+
+    # --- SimHash ----------------------------------------------------------
+    simhash_bits: int = 64
+    simhash_hamming_k: int = 3   # max Hamming distance for a candidate pair
+    simhash_blocks: int = 4      # prefix blocks; catches hamming <= blocks-1
+
+    # --- fingerprint substring pass (suffix-array equivalent) --------------
+    span_tokens: int = 32        # fingerprint window length (tokens)
+    winnow_window: int = 19      # winnowing window; guarantees spans >= 32+19-1=50
+
+    # --- shuffle / skew -----------------------------------------------------
+    shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    salt_buckets: int = 16       # salting factor for hot band keys
+
+    # --- classifier ---------------------------------------------------------
+    ecm_max_iter: int = 100
+    ecm_atol: float = 1e-4
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+
+def get_spark(
+    app_name: str = "recordlinkage-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the dedup workload.
+
+    Local-mode defaults; on a real cluster the same confs apply, with
+    ``spark.sql.shuffle.partitions`` sized ~2-3x total cores and
+    AQE coalescing handling the rest.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+        )
+        # Arrow for pandas UDFs — the only Python hot path we allow.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

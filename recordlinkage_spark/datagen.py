@@ -1,0 +1,202 @@
+"""Deterministic synthetic data generators (seeded; no external data).
+
+Two generators mirror the reference's test-fixture roles:
+
+- ``webtext_corpus``: FIXTURES.md F1 — Common-Crawl-shaped table
+  (url, warc_ts, html, text, lang) with planted duplicate clusters
+  (exact / token-edit near-dups / long-span substring overlaps) plus a
+  truth-pairs table, mirroring the roles of
+  recordlinkage/datasets/generate.py:5-89 and the FEBRL truth-link
+  derivation recordlinkage/datasets/febrl.py:30-49.
+
+- ``binary_vectors``: FIXTURES.md F4 — the classifier statistical oracle
+  (recordlinkage/datasets/generate.py:5-89): n pair vectors where matched
+  pairs agree on column i with probability m[i] and non-matches with u[i].
+
+Both build on the driver with numpy (test scale) and return Spark
+DataFrames; a distributed variant (spark.range + seeded hash-derived
+uniforms) is the scale path for benches > ~1M docs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog web page content crawl data "
+    "spark query engine near duplicate detection cluster shingle signature "
+    "band bucket join shuffle partition skew salt text token hash filter "
+    "scan index compare classify match pair record link house street city "
+    "news article report market price stock value world nation state local "
+    "game team player score win loss season coach field sport music film "
+    "show actor scene story book author title press media online site link"
+).split()
+
+LANGS = ["en", "de", "fr", "nl"]
+
+BOILERPLATE = (
+    "all rights reserved terms of service privacy policy cookie notice "
+    "subscribe newsletter follow us on social media contact about careers "
+    "copyright two thousand twenty four site map help center faq support "
+    "login register search home news sports business entertainment weather"
+).split()
+
+
+def _make_doc(rng: np.random.RandomState, n_tokens: int) -> list[str]:
+    return [VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tokens)]
+
+
+def _token_edit(rng: np.random.RandomState, toks: list[str], n_edits: int) -> list[str]:
+    out = list(toks)
+    for _ in range(n_edits):
+        op = rng.randint(0, 3)
+        pos = rng.randint(0, max(len(out) - 1, 1))
+        if op == 0 and len(out) > 5:      # delete
+            del out[pos]
+        elif op == 1:                      # insert
+            out.insert(pos, VOCAB[rng.randint(0, len(VOCAB))])
+        else:                              # substitute
+            out[pos] = VOCAB[rng.randint(0, len(VOCAB))]
+    return out
+
+
+def webtext_corpus_pandas(
+    n_docs: int = 1000,
+    dup_fraction: float = 0.3,
+    seed: int = 42,
+    doc_tokens: tuple[int, int] = (40, 160),
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (corpus_df, truth_df) as pandas.
+
+    ~n_docs * (1-dup_fraction) originals; the rest are duplicates of a
+    random original: 30% exact copies, 50% token-edit near-dups, 20%
+    long-span substring overlaps (shared >=50-token boilerplate span).
+    Truth pairs connect every doc to every other member of its cluster,
+    canonical url_1 > url_2 (lower-triangle convention, base.py:277-282).
+    """
+    rng = np.random.RandomState(seed)
+    n_orig = max(int(n_docs * (1 - dup_fraction)), 1)
+    docs: list[dict] = []
+    cluster_of: dict[str, int] = {}
+    originals: list[list[str]] = []
+    base_ts = dt.datetime(2024, 3, 1)
+
+    for i in range(n_orig):
+        toks = _make_doc(rng, rng.randint(*doc_tokens))
+        originals.append(toks)
+        url = f"https://site{i % 97}.example.com/page/{i:07d}"
+        docs.append({
+            "url": url,
+            "warc_ts": base_ts + dt.timedelta(minutes=int(rng.randint(0, 60 * 24 * 30))),
+            "text": " ".join(toks),
+            "lang": LANGS[rng.randint(0, len(LANGS))],
+            "_cluster": i,
+            "_dup_kind": "original",
+        })
+        cluster_of[url] = i
+
+    for j in range(n_docs - n_orig):
+        src = int(rng.randint(0, n_orig))
+        toks = originals[src]
+        kind_draw = rng.rand()
+        if kind_draw < 0.30:
+            new_toks, kind = list(toks), "exact"
+        elif kind_draw < 0.80:
+            n_edits = max(1, int(len(toks) * rng.uniform(0.02, 0.10)))
+            new_toks, kind = _token_edit(rng, toks, n_edits), "near"
+        else:
+            # long-span overlap: keep a >=50-token span, fresh surroundings
+            span_len = min(len(toks), int(rng.randint(50, 80)))
+            start = int(rng.randint(0, max(len(toks) - span_len, 1)))
+            span = toks[start : start + span_len]
+            new_toks = (
+                _make_doc(rng, int(rng.randint(10, 40)))
+                + span
+                + _make_doc(rng, int(rng.randint(10, 40)))
+            )
+            kind = "span"
+        url = f"https://mirror{j % 53}.example.org/copy/{j:07d}"
+        docs.append({
+            "url": url,
+            "warc_ts": base_ts + dt.timedelta(minutes=int(rng.randint(0, 60 * 24 * 30))),
+            "text": " ".join(new_toks),
+            "lang": docs[src]["lang"],
+            "_cluster": src,
+            "_dup_kind": kind,
+        })
+        cluster_of[url] = src
+
+    corpus = pd.DataFrame(docs)
+    corpus["html"] = corpus["text"].map(
+        lambda t: f"<html><body><p>{t}</p></body></html>".encode()
+    )
+
+    # truth pairs: all within-cluster pairs, EXCEPT span-dups which are only
+    # "substring duplicates" — they pair with the cluster but with kind 'span'
+    by_cluster: dict[int, list[tuple[str, str]]] = {}
+    for _, row in corpus.iterrows():
+        by_cluster.setdefault(row["_cluster"], []).append((row["url"], row["_dup_kind"]))
+    pairs = []
+    for members in by_cluster.values():
+        if len(members) < 2:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (u1, k1), (u2, k2) = members[i], members[j]
+                hi, lo = (u1, u2) if u1 > u2 else (u2, u1)
+                kind = "span" if ("span" in (k1, k2)) else ("exact" if k1 == k2 == "original" or "exact" in (k1, k2) else "near")
+                pairs.append({"url_1": hi, "url_2": lo, "kind": kind})
+    truth = pd.DataFrame(pairs, columns=["url_1", "url_2", "kind"])
+    return corpus, truth
+
+
+def webtext_corpus(
+    spark: SparkSession, n_docs: int = 1000, dup_fraction: float = 0.3, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    corpus_pd, truth_pd = webtext_corpus_pandas(n_docs, dup_fraction, seed)
+    corpus = spark.createDataFrame(
+        corpus_pd[["url", "warc_ts", "html", "text", "lang", "_dup_kind"]]
+    )
+    truth = (
+        spark.createDataFrame(truth_pd)
+        if len(truth_pd)
+        else spark.createDataFrame([], "url_1 string, url_2 string, kind string")
+    )
+    return corpus, truth
+
+
+def binary_vectors(
+    spark: SparkSession,
+    n: int = 10000,
+    n_match: int = 2000,
+    m=None,
+    u=None,
+    random_state: int = 535,
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded binary comparison vectors + truth pairs — the classifier
+    oracle (recordlinkage/datasets/generate.py:5-89; parameters pinned by
+    tests/test_classify.py:44-59). Returns (features, truth) where features
+    has columns (id_1, id_2, c_1..c_k)."""
+    m = list(m if m is not None else [0.92, 0.81, 0.85, 0.90, 0.99, 0.70, 0.56])
+    u = list(u if u is not None else [0.19, 0.23, 0.50, 0.11, 0.20, 0.14, 0.50])
+    if len(m) != len(u):
+        raise ValueError("m and u must have the same length")
+    rng = np.random.RandomState(random_state)
+    k = len(m)
+    X = np.empty((n, k), dtype=np.int8)
+    y_match = np.zeros(n, dtype=bool)
+    y_match[:n_match] = True
+    for j in range(k):
+        X[:n_match, j] = (rng.rand(n_match) < m[j]).astype(np.int8)
+        X[n_match:, j] = (rng.rand(n - n_match) < u[j]).astype(np.int8)
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"id_1": ids * 2 + 1, "id_2": ids * 2})
+    for j in range(k):
+        pdf[f"c_{j + 1}"] = X[:, j].astype(float)
+    features = spark.createDataFrame(pdf)
+    truth = spark.createDataFrame(pdf.loc[y_match, ["id_1", "id_2"]])
+    return features, truth

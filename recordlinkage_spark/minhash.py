@@ -1,0 +1,179 @@
+"""MinHash + LSH band index — the web-scale candidate-pair pass.
+
+Not in the reference (SURVEY.md §2.2 "new, north_rule"): replaces
+Block/SortedNeighbourhood as the blocking stage for 10^12-doc webtext.
+
+Plan shape (all lazy, one pipeline):
+
+  docs --JVM--> distinct shingles -> xxhash64 per shingle (array<bigint>)
+       --pandas UDF (numpy, Arrow)--> k MinHash mins -> b band hashes
+       --posexplode--> (band_id, band_hash, id)
+       --bucket-size cap (skew!)--> self-join on (band_id, band_hash)
+       --id_1 > id_2, dropDuplicates--> candidate pairs
+       --JVM array_intersect/union on shingle hashes--> exact Jaccard verify
+
+Skew handling (north_rule): webtext boilerplate produces mega-buckets that
+would explode quadratically in the self-join. Buckets larger than
+``max_bucket_size`` are dropped and COUNTED (truncation is observable in
+the metrics dict) — AQE skew-join handles the surviving moderate skew.
+Hash functions are multiply-shift over uint64 (a_i odd), the standard
+vectorized universal-hash family; the numpy kernel is O(k·m) per doc in one
+Arrow batch, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from recordlinkage_spark import textfns
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio mix constant
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, num_perm, dtype=np.int64).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 2**62, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
+    """pandas UDF: array<bigint> shingle hashes -> array<bigint> band hashes.
+
+    Signature and banding fused into ONE Arrow pass (SURVEY.md §4.5: fuse
+    multi-output UDFs manually instead of chaining Python stages)."""
+    if bands * rows != num_perm:
+        raise ValueError("num_perm must equal bands * rows")
+    a, b = _perm_params(num_perm, seed)
+
+    def batch(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            # (k, m) multiply-shift, wraparound mod 2^64
+            sig = (a[:, None] * hv[None, :] + b[:, None]).min(axis=1)
+            # combine r rows per band with a mixed polynomial hash
+            band = sig.reshape(bands, rows)
+            acc = np.zeros(bands, dtype=np.uint64)
+            for r_i in range(rows):
+                acc = acc * _MIX + band[:, r_i]
+                acc ^= acc >> np.uint64(33)
+            out.append(acc.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, ArrayType(LongType()))
+
+
+class MinHashLSH:
+    """MinHash/LSH candidate-pair index with exact-Jaccard verification."""
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        bands: int = 32,
+        rows: int = 4,
+        shingle_size: int = 3,
+        char_level: bool = False,
+        max_bucket_size: int = 2000,
+        seed: int = 42,
+    ):
+        if bands * rows != num_perm:
+            raise ValueError("num_perm must equal bands * rows")
+        self.num_perm, self.bands, self.rows = num_perm, bands, rows
+        self.shingle_size = shingle_size
+        self.char_level = char_level
+        self.max_bucket_size = max_bucket_size
+        self.seed = seed
+        self.metrics: dict = {}
+
+    # ------------------------------------------------------------------
+    def with_shingles(self, df: DataFrame, text_col: str, out: str = "_sh") -> DataFrame:
+        if self.char_level:
+            sh = textfns.char_shingles(F.col(text_col), self.shingle_size)
+        else:
+            sh = textfns.word_shingles(textfns.tokens(F.col(text_col)), self.shingle_size)
+        return df.withColumn(out, textfns.shingle_hashes(sh))
+
+    def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(id, band_id, band_hash) — one row per non-empty doc per band."""
+        udf = make_band_udf(self.num_perm, self.bands, self.rows, self.seed)
+        sig = (
+            self.with_shingles(df, text_col)
+            .select(F.col(id_col).alias("id"), udf(F.col("_sh")).alias("_bands"))
+            .filter(F.col("_bands").isNotNull())
+        )
+        return sig.select(
+            "id", F.posexplode("_bands").alias("band_id", "band_hash")
+        )
+
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Self-join on (band_id, band_hash) -> distinct (id_1, id_2).
+
+        The bucket cap runs BEFORE the self-join: one groupBy counts bucket
+        sizes, oversize buckets are dropped (logged), so the join's worst
+        key fans out at most max_bucket_size^2.
+        """
+        bands = self.bands_table(df, id_col, text_col)
+        key = ["band_id", "band_hash"]
+        sizes = bands.groupBy(*key).agg(F.count("*").alias("_n"))
+        kept = sizes.filter(F.col("_n") <= self.max_bucket_size)
+        bands = bands.join(kept.select(*key), key, "inner")
+        left = bands.withColumnRenamed("id", "id_1")
+        right = bands.withColumnRenamed("id", "id_2")
+        return (
+            left.join(right, key)
+            .filter(F.col("id_1") > F.col("id_2"))
+            .select("id_1", "id_2")
+            .dropDuplicates(["id_1", "id_2"])
+        )
+
+    def verified_pairs(
+        self,
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.8,
+        keep_jaccard: bool = True,
+    ) -> DataFrame:
+        """Candidates + exact Jaccard over distinct shingle-hash sets,
+        filtered at ``threshold``. The verify math is pure JVM
+        (array_intersect / array_union on bigint arrays)."""
+        cands = self.candidate_pairs(df, id_col, text_col)
+        sh = self.with_shingles(df, text_col).select(
+            F.col(id_col).alias("id"), F.col("_sh")
+        )
+        j = (
+            cands.join(sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1"), "id_1")
+            .join(sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2"), "id_2")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+                / F.size(F.array_union("_sh1", "_sh2")),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+        )
+        cols = ["id_1", "id_2"] + (["jaccard"] if keep_jaccard else [])
+        return j.select(*cols)
+
+    def truncation_metrics(self, df: DataFrame, id_col: str, text_col: str) -> dict:
+        """Eagerly measure bucket-cap truncation (for the metrics table)."""
+        bands = self.bands_table(df, id_col, text_col)
+        sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        row = sizes.agg(
+            F.count("*").alias("buckets"),
+            F.sum((F.col("_n") > self.max_bucket_size).cast("int")).alias("dropped"),
+            F.max("_n").alias("max_bucket"),
+        ).collect()[0]
+        self.metrics = {
+            "buckets": row["buckets"],
+            "dropped_buckets": int(row["dropped"] or 0),
+            "max_bucket": row["max_bucket"],
+        }
+        return self.metrics

@@ -1,0 +1,109 @@
+"""SimHash bucket index (64-bit) — second web-scale near-dup pass.
+
+Not in the reference (SURVEY.md §2.2 "new"). SimHash (Charikar 2002): each
+token hash votes ±1 per bit weighted by its bit pattern; the sign vector
+packs into one int64 per doc. Docs within Hamming distance k are near-dups.
+
+Index trick (Manku et al. 2007): split the 64 bits into ``blocks`` chunks;
+any two signatures with hamming <= blocks-1 share at least one exact chunk
+(pigeonhole), so an equi-join per chunk finds all such pairs; a JVM
+``bit_count(s1 ^ s2) <= k`` post-filter removes false candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from recordlinkage_spark import textfns
+
+
+def make_simhash_udf():
+    """pandas UDF: array<bigint> token/shingle hashes -> int64 simhash."""
+
+    def batch(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        valid = np.ones(len(hashes), dtype=bool)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                valid[i] = False
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (m, 64)
+            votes = bits.sum(axis=0) * 2 - len(hv)  # (+1/-1 summed)
+            sig = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig.astype(np.int64))
+        res = pd.Series(out)
+        res[~valid] = None
+        return res
+
+    return F.pandas_udf(batch, LongType())
+
+
+class SimHash:
+    """SimHash near-dup index: signature, chunk buckets, Hamming filter."""
+
+    def __init__(self, hamming_k: int = 3, blocks: int = 4,
+                 shingle_size: int = 2, max_bucket_size: int = 2000):
+        if blocks < hamming_k + 1:
+            raise ValueError(
+                "need blocks >= hamming_k+1 for the pigeonhole guarantee"
+            )
+        self.hamming_k = hamming_k
+        self.blocks = blocks
+        self.shingle_size = shingle_size
+        self.max_bucket_size = max_bucket_size
+
+    def signatures(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        sh = textfns.word_shingles(textfns.tokens(F.col(text_col)), self.shingle_size)
+        udf = make_simhash_udf()
+        return df.select(
+            F.col(id_col).alias("id"),
+            udf(textfns.shingle_hashes(sh)).alias("simhash"),
+        ).filter(F.col("simhash").isNotNull())
+
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        sigs = self.signatures(df, id_col, text_col)
+        width = 64 // self.blocks
+        mask = (1 << width) - 1
+        chunks = sigs.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(self.blocks)
+                ])
+            ).alias("_c"),
+        ).select("id", "simhash", "_c.block_id", "_c.block_val")
+        key = ["block_id", "block_val"]
+        sizes = chunks.groupBy(*key).agg(F.count("*").alias("_n"))
+        chunks = chunks.join(
+            sizes.filter(F.col("_n") <= self.max_bucket_size).select(*key), key
+        )
+        left = chunks.select(
+            F.col("id").alias("id_1"), F.col("simhash").alias("_s1"), *key
+        )
+        right = chunks.select(
+            F.col("id").alias("id_2"), F.col("simhash").alias("_s2"), *key
+        )
+        return (
+            left.join(right, key)
+            .filter(F.col("id_1") > F.col("id_2"))
+            .filter(
+                F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))) <= self.hamming_k
+            )
+            .select("id_1", "id_2")
+            .dropDuplicates(["id_1", "id_2"])
+        )

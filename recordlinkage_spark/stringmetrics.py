@@ -1,0 +1,581 @@
+"""Pure-Python/numpy string-similarity kernels.
+
+The reference delegates to jellyfish/sklearn (recordlinkage/algorithms/
+string.py). Neither is installed here, so these are independent
+implementations of the same *published* algorithms, pinned to the
+reference's normalizations:
+
+- levenshtein / damerau:  1 - dist / max(len)        (string.py:49-82)
+- jaro-winkler:           winkler boost only if jaro > 0.7, prefix <= 4
+                          (jellyfish semantics, used by string.py:32-46)
+- qgram:   sum(min(u,v)) / max(sum u, sum v) over char_wb 2-gram counts
+           (string.py:85-118; sklearn char_wb analyzer semantics)
+- cosine:  <u,v> / (|u||v|) over the same count vectors (string.py:121-152)
+- smith_waterman: affine-ish gap DP, norm in {min,max,mean}
+                  (string.py:155-370)
+- lcs: iterated longest-common-substring accumulation, both orderings
+       averaged, norm in {overlap,jaccard,dice} (string.py:373-559)
+
+All kernels are batch functions ``(pd.Series, pd.Series) -> pd.Series`` so
+they slot directly into Arrow-batched pandas UDFs (the engine's only Python
+hot path). NaN in → NaN out (filled later per the reference's
+missing_value contract, compare.py:154-160).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# scalar kernels
+# ---------------------------------------------------------------------------
+
+def jaro(s1: str, s2: str) -> float:
+    """Standard Jaro similarity (Jaro 1989)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(i + match_window + 1, len2)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: matched chars out of order / 2
+    t = 0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = float(matches)
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler with jellyfish semantics: boost only when jaro > 0.7."""
+    j = jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for c1, c2 in zip(s1, s2):
+            if c1 != c2 or prefix == 4:
+                break
+            prefix += 1
+        j += prefix_weight * prefix * (1.0 - j)
+    return j
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Classic Wagner–Fischer, numpy row-vectorized."""
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    a1 = np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32)
+    a2 = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    ar = np.arange(len(a2) + 1, dtype=np.int64)
+    prev = ar.copy()
+    for i, c in enumerate(a1):
+        cur = np.empty_like(prev)
+        cur[0] = i + 1
+        # substitution / insertion, fully vectorized
+        np.minimum(prev[:-1] + (a2 != c), prev[1:] + 1, out=cur[1:])
+        # deletion cur[j] = min(cur[j], cur[j-1]+1) is a min-plus prefix with
+        # slope 1: subtract the index, running-min, add it back.
+        t = cur - ar
+        np.minimum.accumulate(t, out=t)
+        cur = t + ar
+        prev = cur
+    return int(prev[-1])
+
+
+def damerau_levenshtein_distance(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein (with the 'da' alphabet table),
+    matching jellyfish's choice of the full DL distance."""
+    len1, len2 = len(s1), len(s2)
+    if s1 == s2:
+        return 0
+    maxdist = len1 + len2
+    da: dict[str, int] = {}
+    d = np.zeros((len1 + 2, len2 + 2), dtype=np.int64)
+    d[0, :] = maxdist
+    d[:, 0] = maxdist
+    d[1, 1:] = np.arange(len2 + 1)
+    d[1:, 1] = np.arange(len1 + 1)
+    for i in range(1, len1 + 1):
+        db = 0
+        for j in range(1, len2 + 1):
+            k = da.get(s2[j - 1], 0)
+            l_ = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,          # substitution
+                d[i + 1, j] + 1,         # insertion
+                d[i, j + 1] + 1,         # deletion
+                d[k, l_] + (i - k - 1) + 1 + (j - l_ - 1),  # transposition
+            )
+        da[s1[i - 1]] = i
+    return int(d[len1 + 1, len2 + 1])
+
+
+_NON_SPACE = None
+
+
+def _strip_accents_unicode(s: str) -> str:
+    """sklearn-compatible unicode accent stripping (NFKD + drop combining)."""
+    norm = unicodedata.normalize("NFKD", s)
+    return "".join(c for c in norm if not unicodedata.combining(c))
+
+
+def char_wb_ngrams(s: str, n_min: int = 2, n_max: int = 2) -> Counter:
+    """sklearn CountVectorizer(analyzer='char_wb') n-gram counts.
+
+    Lowercases, strips accents (unicode), collapses whitespace, pads each
+    whitespace-token with one space per side, emits all n-grams per padded
+    token; a token shorter than n is counted once as-is.
+    """
+    s = _strip_accents_unicode(s.lower())
+    counts: Counter = Counter()
+    for w in s.split():
+        w = f" {w} "
+        w_len = len(w)
+        for n in range(n_min, n_max + 1):
+            offset = 0
+            counts[w[offset : offset + n]] += 1
+            while offset + n < w_len:
+                offset += 1
+                counts[w[offset : offset + n]] += 1
+            if offset == 0:  # short token counted once
+                break
+    return counts
+
+
+def qgram_sim(s1: str, s2: str, ngram=(2, 2)) -> float:
+    u = char_wb_ngrams(s1, *ngram)
+    v = char_wb_ngrams(s2, *ngram)
+    total = max(sum(u.values()), sum(v.values()))
+    if total == 0:
+        return np.nan
+    match = sum(min(c, v[g]) for g, c in u.items())
+    return match / total
+
+
+def cosine_sim(s1: str, s2: str, ngram=(2, 2)) -> float:
+    u = char_wb_ngrams(s1, *ngram)
+    v = char_wb_ngrams(s2, *ngram)
+    a = np.sqrt(sum(c * c for c in u.values()))
+    b = np.sqrt(sum(c * c for c in v.values()))
+    if a == 0 or b == 0:
+        return np.nan
+    ab = sum(c * v[g] for g, c in u.items())
+    return ab / (a * b)
+
+
+def smith_waterman_sim(
+    s1: str,
+    s2: str,
+    match: float = 5.0,
+    mismatch: float = -5.0,
+    gap_start: float = -5.0,
+    gap_continue: float = -1.0,
+    norm: str = "mean",
+) -> float:
+    """Smith-Waterman local alignment with trace-aware gap costs and the
+    reference's min/max/mean normalizations (string.py:155-357)."""
+    if len(s1) == 0 or len(s2) == 0:
+        return 0.0
+    n1, n2 = len(s1), len(s2)
+    m = np.zeros((n1 + 1, n2 + 1))
+    # trace bits: 1=D, 2=H, 4=V
+    tr = np.zeros((n1 + 1, n2 + 1), dtype=np.uint8)
+    highest = 0.0
+    for x in range(1, n1 + 1):
+        c1 = s1[x - 1]
+        for y in range(1, n2 + 1):
+            diag = m[x - 1, y - 1] + (match if c1 == s2[y - 1] else mismatch)
+            gh = m[x - 1, y] + (gap_continue if tr[x - 1, y] & 2 else gap_start)
+            gv = m[x, y - 1] + (gap_continue if tr[x, y - 1] & 4 else gap_start)
+            score = max(diag, gh, gv)
+            if score <= 0:
+                score = 0.0
+            else:
+                bits = 0
+                if score == diag:
+                    bits |= 1
+                if score == gh:
+                    bits |= 2
+                if score == gv:
+                    bits |= 4
+                tr[x, y] = bits
+            if score > highest:
+                highest = score
+            m[x, y] = score
+    if norm == "min":
+        return highest / (min(n1, n2) * match)
+    if norm == "max":
+        return highest / (max(n1, n2) * match)
+    return 2.0 * highest / ((n1 + n2) * match)
+
+
+def _lcs_once(s1: str, s2: str):
+    """One longest-common-substring pass; returns (s1', s2', length)
+    with the found substring excised (string.py:405-464)."""
+    n1, n2 = len(s1), len(s2)
+    longest, x_end, y_end = 0, 0, 0
+    prev = [0] * (n2 + 1)
+    for x in range(1, n1 + 1):
+        cur = [0] * (n2 + 1)
+        c1 = s1[x - 1]
+        for y in range(1, n2 + 1):
+            if c1 == s2[y - 1]:
+                v = prev[y - 1] + 1
+                cur[y] = v
+                if v > longest:
+                    longest, x_end, y_end = v, x, y
+        prev = cur
+    new1 = s1[: x_end - longest] + s1[x_end:]
+    new2 = s2[: y_end - longest] + s2[y_end:]
+    return new1, new2, longest
+
+
+def lcs_sim(s1: str, s2: str, norm: str = "dice", min_len: int = 2) -> float:
+    """Iterated LCS similarity, both orderings averaged (string.py:373-559)."""
+    def accumulate(a: str, b: str) -> int:
+        acc = 0
+        while min(len(a), len(b)) >= min_len:
+            a2, b2, ln = _lcs_once(a, b)
+            if ln < min_len:
+                break
+            acc += ln
+            a, b = a2, b2
+        return acc
+
+    len1, len2 = len(s1), len(s2)
+
+    def normalize(v: float) -> float:
+        if len1 == 0 or len2 == 0:
+            return 0.0
+        if norm == "overlap":
+            return v / min(len1, len2)
+        if norm == "jaccard":
+            return v / (len1 + len2 - abs(v))
+        return v * 2.0 / (len1 + len2)
+
+    return (normalize(accumulate(s1, s2)) + normalize(accumulate(s2, s1))) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# phonetic encodings (reference: recordlinkage/preprocessing/encoding.py,
+# delegating to jellyfish; these are independent implementations of the
+# published algorithms)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_MAP = {
+    **dict.fromkeys("BFPV", "1"),
+    **dict.fromkeys("CGJKQSXZ", "2"),
+    **dict.fromkeys("DT", "3"),
+    "L": "4",
+    **dict.fromkeys("MN", "5"),
+    "R": "6",
+}
+
+
+def soundex(s: str) -> str:
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    out = [s[0]]
+    prev = _SOUNDEX_MAP.get(s[0], "")
+    for c in s[1:]:
+        code = _SOUNDEX_MAP.get(c, "")
+        if code and code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        if c not in "HW":  # H/W do not reset the previous code
+            prev = code
+    return "".join(out).ljust(4, "0")
+
+
+_NYSIIS_VOWELS = set("AEIOU")
+
+
+def nysiis(s: str) -> str:
+    """NYSIIS phonetic code (standard published algorithm)."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    # initial transformations
+    for pre, rep in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"), ("PH", "FF"),
+                     ("PF", "FF"), ("SCH", "SSS")):
+        if s.startswith(pre):
+            s = rep + s[len(pre):]
+            break
+    for suf, rep in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"),
+                     ("RD", "D"), ("NT", "D"), ("ND", "D")):
+        if s.endswith(suf):
+            s = s[: -len(suf)] + rep
+            break
+    key = [s[0]]
+    i = 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if s[i : i + 2] == "EV":
+            c2, step = "AF", 2
+        elif c in _NYSIIS_VOWELS:
+            c2, step = "A", 1
+        elif c == "Q":
+            c2, step = "G", 1
+        elif c == "Z":
+            c2, step = "S", 1
+        elif c == "M":
+            c2, step = "N", 1
+        elif s[i : i + 2] == "KN":
+            c2, step = "N", 2
+        elif c == "K":
+            c2, step = "C", 1
+        elif s[i : i + 3] == "SCH":
+            c2, step = "SSS", 3
+        elif s[i : i + 2] == "PH":
+            c2, step = "FF", 2
+        elif c == "H" and (
+            s[i - 1] not in _NYSIIS_VOWELS
+            or (i + 1 < n and s[i + 1] not in _NYSIIS_VOWELS)
+        ):
+            c2, step = s[i - 1], 1
+        elif c == "W" and s[i - 1] in _NYSIIS_VOWELS:
+            c2, step = s[i - 1], 1
+        else:
+            c2, step = c, 1
+        if c2 and c2[0] != key[-1]:
+            key.append(c2[0])
+        i += step
+    out = "".join(key)
+    if out.endswith("S") and len(out) > 1:
+        out = out[:-1]
+    if out.endswith("AY"):
+        out = out[:-2] + "Y"
+    if out.endswith("A") and len(out) > 1:
+        out = out[:-1]
+    return out
+
+
+def match_rating_codex(s: str) -> str:
+    """Match Rating Approach codex (published algorithm)."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    out = [s[0]]
+    for c in s[1:]:
+        if c in "AEIOU":
+            continue
+        out.append(c)
+    # collapse doubled consonants
+    dedup = [out[0]]
+    for c in out[1:]:
+        if c != dedup[-1]:
+            dedup.append(c)
+    code = "".join(dedup)
+    if len(code) > 6:
+        code = code[:3] + code[-3:]
+    return code
+
+
+def metaphone(s: str) -> str:
+    """Original Metaphone (Philips 1990), standard published rules."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    # initial-letter exceptions
+    for pre, rep in (("AE", "E"), ("GN", "N"), ("KN", "N"), ("PN", "N"),
+                     ("WR", "R"), ("X", "S"), ("WH", "W")):
+        if s.startswith(pre):
+            s = rep + s[len(pre):]
+            break
+    out = []
+    n = len(s)
+    i = 0
+    vowels = "AEIOU"
+
+    def at(k):
+        return s[k] if 0 <= k < n else ""
+
+    while i < n:
+        c = s[i]
+        if i > 0 and c == at(i - 1) and c != "C":
+            i += 1
+            continue
+        if c in vowels:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and at(i - 1) == "M"):
+                out.append("B")
+        elif c == "C":
+            if at(i + 1) == "I" and at(i + 2) == "A":
+                out.append("X")
+            elif at(i + 1) == "H":
+                if at(i - 1) == "S":
+                    out.append("K")
+                else:
+                    out.append("X")
+                i += 1
+            elif at(i + 1) in "IEY":
+                if at(i - 1) == "S":
+                    pass
+                else:
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if at(i + 1) == "G" and at(i + 2) in "IEY":
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "G":
+            if at(i + 1) == "H":
+                if i + 1 == n - 1 or at(i + 2) not in vowels:
+                    pass  # silent GH
+                else:
+                    out.append("K")
+                    i += 1
+            elif at(i + 1) == "N":
+                pass  # silent before N
+            elif at(i + 1) in "IEY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if at(i - 1) in vowels and at(i + 1) not in vowels:
+                pass
+            elif at(i - 1) in "CSPTG":
+                pass
+            else:
+                out.append("H")
+        elif c in "FJLMNR":
+            out.append(c)
+        elif c == "K":
+            if at(i - 1) != "C":
+                out.append("K")
+        elif c == "P":
+            if at(i + 1) == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if at(i + 1) == "H":
+                out.append("X")
+                i += 1
+            elif at(i + 1) == "I" and at(i + 2) in "OA":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if at(i + 1) == "H":
+                out.append("0")
+                i += 1
+            elif at(i + 1) == "I" and at(i + 2) in "OA":
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if at(i + 1) in vowels:
+                out.append("W")
+        elif c == "X":
+            out.append("KS")
+        elif c == "Y":
+            if at(i + 1) in vowels:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# batch (pandas) wrappers — the shapes pandas UDFs consume
+# ---------------------------------------------------------------------------
+
+def _pairwise(kernel):
+    def batch(s1: pd.Series, s2: pd.Series, **kw) -> pd.Series:
+        out = np.full(len(s1), np.nan)
+        a1 = s1.to_numpy(dtype=object)
+        a2 = s2.to_numpy(dtype=object)
+        for i in range(len(out)):
+            x, y = a1[i], a2[i]
+            if x is None or y is None or (isinstance(x, float) and np.isnan(x)) or (
+                isinstance(y, float) and np.isnan(y)
+            ):
+                continue
+            out[i] = kernel(str(x), str(y), **kw)
+        return pd.Series(out)
+
+    return batch
+
+
+jaro_batch = _pairwise(jaro)
+jaro_winkler_batch = _pairwise(jaro_winkler)
+qgram_batch = _pairwise(qgram_sim)
+cosine_batch = _pairwise(cosine_sim)
+smith_waterman_batch = _pairwise(smith_waterman_sim)
+lcs_batch = _pairwise(lcs_sim)
+
+
+def _norm_dist(dist_fn):
+    def batch(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = np.full(len(s1), np.nan)
+        a1 = s1.to_numpy(dtype=object)
+        a2 = s2.to_numpy(dtype=object)
+        for i in range(len(out)):
+            x, y = a1[i], a2[i]
+            if x is None or y is None or (isinstance(x, float) and np.isnan(x)) or (
+                isinstance(y, float) and np.isnan(y)
+            ):
+                continue
+            x, y = str(x), str(y)
+            mx = max(len(x), len(y))
+            if mx == 0:
+                continue  # 0/0 -> NaN, matching the reference's numpy warning path
+            out[i] = 1.0 - dist_fn(x, y) / mx
+        return pd.Series(out)
+
+    return batch
+
+
+levenshtein_batch = _norm_dist(levenshtein_distance)
+damerau_levenshtein_batch = _norm_dist(damerau_levenshtein_distance)

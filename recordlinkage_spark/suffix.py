@@ -1,0 +1,141 @@
+"""Long-span exact-substring dedup via winnowed rolling-hash fingerprints.
+
+Not in the reference (SURVEY.md §2.2 "new") — handles the north rule's
+"exact long-span duplicates" clause. A per-partition suffix array cannot
+see cross-partition duplicates; the scalable equivalent is document
+fingerprinting (Schleimer/Wilkerson/Aiken 2003, "winnowing"):
+
+  tokens -> xxhash64 per token (JVM) -> rolling polynomial hash of every
+  ``span_tokens``-token window (numpy) -> winnowing: keep the min hash of
+  each ``winnow_window`` consecutive windows -> explode -> equi-join on the
+  fingerprint.
+
+Guarantee: any exact common token span of length >= span_tokens +
+winnow_window - 1 shares at least one selected fingerprint, so with the
+defaults (32, 19) every shared 50-token span is caught — deterministically,
+not probabilistically. Optional exact verification computes the true
+longest common token run per candidate pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from recordlinkage_spark import textfns
+
+_P = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
+
+
+def make_fingerprint_udf(span: int, window: int):
+    """pandas UDF: array<bigint> token hashes -> array<bigint> winnowed
+    window fingerprints (distinct)."""
+
+    pw = _P
+    for _ in range(span - 2):
+        pw = pw * _P  # P^(span-1) mod 2^64
+
+    def batch(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) < span:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            m = len(hv) - span + 1
+            # rolling polynomial hash over each span-token window
+            roll = np.zeros(m, dtype=np.uint64)
+            acc = np.uint64(0)
+            for j in range(span):
+                acc = acc * _P + hv[j]
+            roll[0] = acc
+            for j in range(1, m):
+                acc = (acc - hv[j - 1] * pw) * _P + hv[j + span - 1]
+                roll[j] = acc
+            # winnowing: min of each window of `window` consecutive hashes
+            if m <= window:
+                sel = np.array([roll.min()], dtype=np.uint64)
+            else:
+                # sliding-window min via stride trick (m small per doc)
+                sw = np.lib.stride_tricks.sliding_window_view(roll, window)
+                sel = sw.min(axis=1)
+            out.append(np.unique(sel).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, ArrayType(LongType()))
+
+
+class FingerprintSubstring:
+    """Exact long-span duplicate pass."""
+
+    def __init__(self, span_tokens: int = 32, winnow_window: int = 19,
+                 max_bucket_size: int = 2000):
+        self.span_tokens = span_tokens
+        self.winnow_window = winnow_window
+        self.max_bucket_size = max_bucket_size
+
+    def fingerprints(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        tok_hashes = textfns.shingle_hashes(textfns.tokens(F.col(text_col)))
+        udf = make_fingerprint_udf(self.span_tokens, self.winnow_window)
+        fp = df.select(
+            F.col(id_col).alias("id"), udf(tok_hashes).alias("_fps")
+        ).filter(F.col("_fps").isNotNull())
+        return fp.select("id", F.explode("_fps").alias("fp"))
+
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        fps = self.fingerprints(df, id_col, text_col)
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("_n"))
+        fps = fps.join(
+            sizes.filter(F.col("_n") <= self.max_bucket_size).select("fp"), "fp"
+        )
+        left = fps.withColumnRenamed("id", "id_1")
+        right = fps.withColumnRenamed("id", "id_2")
+        return (
+            left.join(right, "fp")
+            .filter(F.col("id_1") > F.col("id_2"))
+            .select("id_1", "id_2")
+            .dropDuplicates(["id_1", "id_2"])
+        )
+
+    def verified_pairs(self, df: DataFrame, id_col: str, text_col: str,
+                       min_span: int | None = None) -> DataFrame:
+        """Candidates + exact longest-common-token-run verification
+        (numpy DP per pair in one Arrow batch)."""
+        min_span = min_span or self.span_tokens
+        cands = self.candidate_pairs(df, id_col, text_col)
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            textfns.shingle_hashes(textfns.tokens(F.col(text_col))).alias("_t"),
+        )
+        joined = (
+            cands.join(toks.withColumnRenamed("id", "id_1").withColumnRenamed("_t", "_t1"), "id_1")
+            .join(toks.withColumnRenamed("id", "id_2").withColumnRenamed("_t", "_t2"), "id_2")
+        )
+
+        def lcrun(t1: pd.Series, t2: pd.Series) -> pd.Series:
+            out = np.zeros(len(t1), dtype=np.int64)
+            for i in range(len(t1)):
+                a = np.asarray(t1.iloc[i], dtype=np.int64)
+                b = np.asarray(t2.iloc[i], dtype=np.int64)
+                prev = np.zeros(len(b) + 1, dtype=np.int64)
+                best = 0
+                for x in range(1, len(a) + 1):
+                    cur = np.zeros(len(b) + 1, dtype=np.int64)
+                    eq = b == a[x - 1]
+                    cur[1:][eq] = prev[:-1][eq] + 1
+                    mx = cur.max()
+                    if mx > best:
+                        best = int(mx)
+                    prev = cur
+                out[i] = best
+            return pd.Series(out)
+
+        udf = F.pandas_udf(lcrun, LongType())
+        return (
+            joined.withColumn("common_span", udf("_t1", "_t2"))
+            .filter(F.col("common_span") >= min_span)
+            .select("id_1", "id_2", "common_span")
+        )
