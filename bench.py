@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract): run the headline dedup queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Headline set = the engine's scale-critical paths:
+  - full dedup pipeline (MinHash/LSH -> verify -> substring -> components)
+  - the individual web-scale passes
+  - the reference's own benchmark shape: 6-feature compare at ~5e4 pairs
+    (jaro, jarowinkler@.85, date, 2x exact, levenshtein@.85 —
+    /root/reference/benchmarks/bench_comparing.py:6-111)
+  - ECM fit+predict on 50k seeded binary vectors
+  - ANN cosine top-k over embeddings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from recordlinkage_spark.config import EngineConfig, get_spark
+    from recordlinkage_spark.classifiers import ECMClassifier
+    from recordlinkage_spark.comparing import Compare
+    from recordlinkage_spark.datagen import binary_vectors
+    from recordlinkage_spark.indexing import Block
+    from recordlinkage_spark.minhash import MinHashLSH
+    from recordlinkage_spark.network import ConnectedComponents
+    from recordlinkage_spark.pipeline import DedupPipeline
+    from recordlinkage_spark.simhash import SimHash
+    from recordlinkage_spark.suffix import FingerprintSubstring
+    from recordlinkage_spark import ann
+
+    spark = get_spark("recordlinkage-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").cache()
+    cust.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. full dedup pipeline over documents
+    cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3,
+                       span_tokens=16, winnow_window=9)
+
+    def run_pipeline():
+        pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+        out = pipe.run(docs, id_col="doc_id", text_col="text")
+        out["clusters"].count()
+
+    timed("dedup_pipeline", run_pipeline)
+
+    # 2. individual passes
+    lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+    timed("minhash_candidates",
+          lambda: lsh.candidate_pairs(docs, "doc_id", "text").count())
+    timed("simhash_candidates",
+          lambda: SimHash(hamming_k=3, blocks=4, shingle_size=2)
+          .candidate_pairs(docs, "doc_id", "text").count())
+    timed("substring_pairs",
+          lambda: FingerprintSubstring(span_tokens=16, winnow_window=9)
+          .candidate_pairs(docs, "doc_id", "text").count())
+
+    # 3. reference 6-feature compare shape at ~5e4 pairs
+    pairs = (
+        Block("c_nationkey").index(cust, id_col="c_custkey").limit(50000)
+    )
+
+    def run_compare():
+        feats = (
+            Compare()
+            .string("c_name", "c_name", "jaro", label="f_jaro")
+            .string("c_name", "c_name", "jarowinkler", threshold=0.85, label="f_jw")
+            .exact("c_mktsegment", "c_mktsegment", label="f_seg")
+            .exact("c_nationkey", "c_nationkey", label="f_nat")
+            .string("c_address", "c_address", "levenshtein", threshold=0.85, label="f_lev")
+            .numeric("c_acctbal", "c_acctbal", "gauss", scale=1000.0, label="f_bal")
+            .compute(pairs, cust, id_col="c_custkey")
+        )
+        feats.agg(F.sum("f_jaro")).collect()
+
+    timed("compare_6feat_50k", run_compare)
+
+    # 4. ECM on 50k binary vectors (seed 535, reference test scale)
+    def run_ecm():
+        feats, _ = binary_vectors(spark, n=50000, n_match=10000, random_state=535)
+        ECMClassifier().fit_predict(feats).filter("label = 1").count()
+
+    timed("ecm_50k", run_ecm)
+
+    # 5. connected components over a synthetic 10-chain graph
+    def run_cc():
+        edges = cust.select(
+            F.col("c_custkey").alias("id_1"),
+            (F.col("c_custkey") - F.col("c_custkey") % 10).alias("id_2"),
+        ).filter(F.col("id_1") != F.col("id_2"))
+        ConnectedComponents().compute(edges).count()
+
+    timed("connected_components", run_cc)
+
+    # 6. ANN brute-force top-k
+    timed("ann_topk",
+          lambda: ann.cosine_topk(emb, emb.limit(50), k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec_dedup": round(n_docs / timings["dedup_pipeline"], 1),
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,8 @@ def webtext_corpus_pandas(
         src = int(rng.randint(0, n_orig))
         toks = originals[src]
         kind_draw = rng.rand()
+        if kind_draw >= 0.80 and len(toks) < 80:
+            kind_draw = 0.5  # too short for a guaranteed >=50-token span
         if kind_draw < 0.30:
             new_toks, kind = list(toks), "exact"
         elif kind_draw < 0.80:
@@ -148,7 +150,14 @@ def webtext_corpus_pandas(
             for j in range(i + 1, len(members)):
                 (u1, k1), (u2, k2) = members[i], members[j]
                 hi, lo = (u1, u2) if u1 > u2 else (u2, u1)
-                kind = "span" if ("span" in (k1, k2)) else ("exact" if k1 == k2 == "original" or "exact" in (k1, k2) else "near")
+                # pair kind: identical texts only when both sides are the
+                # original or exact copies of it
+                if "span" in (k1, k2):
+                    kind = "span"
+                elif {k1, k2} <= {"original", "exact"}:
+                    kind = "exact"
+                else:
+                    kind = "near"
                 pairs.append({"url_1": hi, "url_2": lo, "kind": kind})
     truth = pd.DataFrame(pairs, columns=["url_1", "url_2", "kind"])
     return corpus, truth

@@ -532,7 +532,8 @@ def metaphone(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _pairwise(kernel):
-    def batch(s1: pd.Series, s2: pd.Series, **kw) -> pd.Series:
+    # no type hints: pandas_udf must take the legacy (returnType) path
+    def batch(s1, s2):
         out = np.full(len(s1), np.nan)
         a1 = s1.to_numpy(dtype=object)
         a2 = s2.to_numpy(dtype=object)
@@ -542,7 +543,7 @@ def _pairwise(kernel):
                 isinstance(y, float) and np.isnan(y)
             ):
                 continue
-            out[i] = kernel(str(x), str(y), **kw)
+            out[i] = kernel(str(x), str(y))
         return pd.Series(out)
 
     return batch
@@ -557,7 +558,7 @@ lcs_batch = _pairwise(lcs_sim)
 
 
 def _norm_dist(dist_fn):
-    def batch(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    def batch(s1, s2):
         out = np.full(len(s1), np.nan)
         a1 = s1.to_numpy(dtype=object)
         a2 = s2.to_numpy(dtype=object)

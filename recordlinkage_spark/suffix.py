@@ -34,11 +34,13 @@ def make_fingerprint_udf(span: int, window: int):
     """pandas UDF: array<bigint> token hashes -> array<bigint> winnowed
     window fingerprints (distinct)."""
 
-    pw = _P
-    for _ in range(span - 2):
-        pw = pw * _P  # P^(span-1) mod 2^64
+    with np.errstate(over="ignore"):
+        pw = _P
+        for _ in range(span - 2):
+            pw = pw * _P  # P^(span-1) mod 2^64
 
     def batch(hashes: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")  # uint64 wraparound is the hash function
         out = []
         for h in hashes:
             if h is None or len(h) < span:

@@ -70,17 +70,14 @@ def lang_scores(tok_col: Column) -> dict[str, Column]:
 
 def lang_id(tok_col: Column) -> Column:
     """argmax language by marker hits, 'und' (undetermined) when all zero.
-    Deterministic tiebreak: language list order en > de > fr > nl."""
+    Deterministic tiebreak: priority order en > de > fr > nl. The logic is
+    a flat greatest+CASE so a SQL oracle can replicate it verbatim."""
     scores = lang_scores(tok_col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties with strict >
-    for lang in reversed(list(scores)):
-        s = scores[lang]
-        cond = s >= best_score if lang == "en" else s > best_score
-        best_lang = F.when(s > 0, F.when(cond, F.lit(lang)).otherwise(best_lang)).otherwise(best_lang)
-        best_score = F.greatest(best_score, s)
-    return best_lang
+    g = F.greatest(*scores.values())
+    expr = F.when(g == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = priority
+        expr = expr.when(scores[lang] == g, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
 
 
 # --- quality scoring --------------------------------------------------------

@@ -1,0 +1,50 @@
+"""ANN operators: brute-force cosine top-k baseline vs LSH-bucketed path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recordlinkage_spark import ann
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # planted near-dups: ids 100+i close to i for first 5
+    for i in range(5):
+        v = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append((100 + i, (v / np.linalg.norm(v)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = ann.cosine_topk(vectors, vectors.filter("vec_id < 5"), k=3)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    for q in range(5):
+        # nearest neighbor of i is its planted near-dup 100+i
+        assert rows[(q, 1)]["neighbor_id"] == 100 + q
+        assert rows[(q, 1)]["cosine"] > 0.99
+    # k respected
+    assert out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] == 3
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = ann.embedding_near_dup_pairs(vectors, dim=16, threshold=0.95,
+                                         bits=6, tables=8)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    expected = {(100 + i, i) for i in range(5)}
+    assert expected <= got
+
+
+def test_lsh_topk_recall_vs_exact(vectors):
+    queries = vectors.filter("vec_id < 5")
+    exact = ann.cosine_topk(vectors, queries, k=1)
+    approx = ann.lsh_topk(vectors, queries, dim=16, k=1, bits=4, tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # near-dup neighbors are nearly collinear -> LSH must find them
+    assert len(e & a) >= 4

@@ -1,0 +1,152 @@
+"""Classifier oracle tests — the seeded statistical pattern of the
+reference suite (tests/test_classify.py:35-83,246-309,322-529; FIXTURES.md
+F4): ECM must approximately recover the generating m/u/p on seeded binary
+vectors; manual LogReg is deterministic; supervised learners separate."""
+
+import numpy as np
+import pytest
+
+from recordlinkage_spark import measures
+from recordlinkage_spark.classifiers import (
+    ECMClassifier,
+    KMeansClassifier,
+    LogisticRegressionClassifier,
+    NaiveBayesClassifier,
+    SVMClassifier,
+    ThresholdClassifier,
+)
+from recordlinkage_spark.datagen import binary_vectors
+
+M = [0.92, 0.81, 0.85, 0.90, 0.99, 0.70, 0.56]
+U = [0.19, 0.23, 0.50, 0.11, 0.20, 0.14, 0.50]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # n scaled down from the reference's 50k for test speed; same seed 535
+    return binary_vectors(spark, n=10000, n_match=2000, m=M, u=U, random_state=535)
+
+
+def test_binary_vectors_shape(vectors):
+    features, truth = vectors
+    assert features.count() == 10000
+    assert truth.count() == 2000
+    cols = [c for c in features.columns if c.startswith("c_")]
+    assert len(cols) == 7
+
+
+def test_threshold_classifier(vectors):
+    features, truth = vectors
+    # matches agree on ~5.7 of 7 features, nonmatches on ~1.9
+    pred = ThresholdClassifier(threshold=4.0).fit_predict(features)
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.recall(tp, fn) > 0.9
+
+
+def test_logreg_manual_deterministic(vectors):
+    # the deterministic-linkage path (examples/dedup_deterministic.py:57-67)
+    features, truth = vectors
+    clf = LogisticRegressionClassifier(coefficients=[2.0] * 7, intercept=-8.0)
+    pred = clf.fit_predict(features)
+    # score > 0.5 <=> 2*sum(x) > 8 <=> sum(x) > 4
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.recall(tp, fn) > 0.85
+    # determinism
+    again = clf.fit_predict(features).filter("label = 1")
+    assert again.count() == matches.count()
+
+
+def test_logreg_supervised(vectors):
+    features, truth = vectors
+    clf = LogisticRegressionClassifier()
+    pred = clf.fit_predict(features, truth)
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fp = measures.false_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.fscore(tp, fp, fn) > 0.85
+
+
+def test_naive_bayes_supervised(vectors):
+    features, truth = vectors
+    clf = NaiveBayesClassifier(alpha=1e-4)
+    pred = clf.fit_predict(features, truth)
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fp = measures.false_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.fscore(tp, fp, fn) > 0.85
+    # NB recovers m-probabilities from labels
+    m_hat = clf._probs_for_value_one(1) if hasattr(clf, "_probs_for_value_one") else None
+
+
+def test_ecm_parameter_recovery(vectors):
+    """The flagship check (tests/test_classify.py:322-529): unsupervised EM
+    recovers the generating m, u and p within loose tolerance."""
+    features, truth = vectors
+    clf = ECMClassifier(init="jaro", max_iter=100, atol=1e-4)
+    clf.fit(features)
+    cols = [f"c_{i + 1}" for i in range(7)]
+    m_hat = np.array([clf.m_probs[c] for c in cols])
+    u_hat = np.array([clf.u_probs[c] for c in cols])
+    assert clf.p == pytest.approx(0.2, abs=0.05)
+    np.testing.assert_allclose(m_hat, M, atol=0.08)
+    np.testing.assert_allclose(u_hat, U, atol=0.08)
+
+
+def test_ecm_classification_quality(vectors):
+    features, truth = vectors
+    pred = ECMClassifier().fit_predict(features)
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fp = measures.false_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.fscore(tp, fp, fn) > 0.85
+    # score column is a posterior in [0,1]
+    stats = pred.selectExpr("min(score) lo", "max(score) hi").collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
+
+
+def test_kmeans_fixed_init(vectors):
+    features, truth = vectors
+    clf = KMeansClassifier()
+    pred = clf.fit_predict(features)
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.recall(tp, fn) > 0.8
+    with pytest.raises(AttributeError):
+        clf.prob()
+
+
+def test_kmeans_manual_centers(spark):
+    feats = spark.createDataFrame(
+        [(1, 0, 0.9, 0.95), (2, 0, 0.1, 0.05)], "id_1 long, id_2 long, a double, b double"
+    )
+    clf = KMeansClassifier(
+        match_cluster_center=[1.0, 1.0], nonmatch_cluster_center=[0.0, 0.0]
+    )
+    got = {r["id_1"]: r["label"] for r in clf.fit_predict(feats).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_svm(vectors):
+    features, truth = vectors
+    pred = SVMClassifier().fit_predict(features, truth)
+    assert "score" not in pred.columns  # reference SVC has no prob
+    matches = pred.filter("label = 1")
+    tp = measures.true_positives(truth, matches)
+    fp = measures.false_positives(truth, matches)
+    fn = measures.false_negatives(truth, matches)
+    assert measures.fscore(tp, fp, fn) > 0.85
+
+
+def test_supervised_requires_matches(spark, vectors):
+    features, _ = vectors
+    empty_truth = spark.createDataFrame([], "id_1 long, id_2 long")
+    with pytest.raises(ValueError, match="zero matches"):
+        NaiveBayesClassifier().fit(features, empty_truth)

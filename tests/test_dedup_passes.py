@@ -1,0 +1,128 @@
+"""Web-scale dedup passes: MinHash/LSH, SimHash, fingerprint substring,
+plus the end-to-end pipeline recall gate on the planted-duplicate corpus
+(FIXTURES.md F1; BASELINE.json dup-pair recall >= 0.99)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recordlinkage_spark import measures
+from recordlinkage_spark.config import EngineConfig
+from recordlinkage_spark.datagen import webtext_corpus
+from recordlinkage_spark.minhash import MinHashLSH
+from recordlinkage_spark.pipeline import DedupPipeline
+from recordlinkage_spark.simhash import SimHash
+from recordlinkage_spark.suffix import FingerprintSubstring
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, truth = webtext_corpus(spark, n_docs=800, dup_fraction=0.35, seed=42)
+    docs = docs.cache()
+    truth = truth.cache()
+    docs.count(), truth.count()
+    return docs, truth
+
+
+def _pair_truth(truth, kinds):
+    return truth.filter(F.col("kind").isin(list(kinds))).select(
+        F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2")
+    )
+
+
+def test_minhash_recall_on_exact_and_near(corpus):
+    docs, truth = corpus
+    lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+    cands = lsh.candidate_pairs(docs, "url", "text")
+    t = _pair_truth(truth, ["exact", "near"])
+    tp = measures.true_positives(t, cands)
+    fn = measures.false_negatives(t, cands)
+    assert measures.recall(tp, fn) >= 0.99
+
+
+def test_minhash_verified_precision(corpus):
+    docs, truth = corpus
+    lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+    verified = lsh.verified_pairs(docs, "url", "text", threshold=0.5)
+    t = _pair_truth(truth, ["exact", "near", "span"])
+    fp = measures.false_positives(t, verified)
+    # verified pairs at jaccard>=0.5 on random-vocab docs: essentially no FPs
+    assert fp <= verified.count() * 0.02
+
+
+def test_minhash_bucket_cap(corpus):
+    docs, _ = corpus
+    lsh = MinHashLSH(num_perm=32, bands=8, rows=4, max_bucket_size=2)
+    m = lsh.truncation_metrics(docs, "url", "text")
+    assert m["buckets"] > 0
+    # with a cap of 2 some exact-dup buckets must be dropped
+    assert m["dropped_buckets"] > 0
+    capped = lsh.candidate_pairs(docs, "url", "text").count()
+    lsh2 = MinHashLSH(num_perm=32, bands=8, rows=4, max_bucket_size=2000)
+    uncapped = lsh2.candidate_pairs(docs, "url", "text").count()
+    assert capped < uncapped
+
+
+def test_simhash_finds_exact_dups(corpus):
+    docs, truth = corpus
+    sh = SimHash(hamming_k=3, blocks=4, shingle_size=2)
+    cands = sh.candidate_pairs(docs, "url", "text")
+    t = _pair_truth(truth, ["exact"])
+    tp = measures.true_positives(t, cands)
+    fn = measures.false_negatives(t, cands)
+    assert measures.recall(tp, fn) >= 0.99
+
+
+def test_fingerprint_substring_finds_span_dups(corpus):
+    docs, truth = corpus
+    fps = FingerprintSubstring(span_tokens=32, winnow_window=19)
+    cands = fps.candidate_pairs(docs, "url", "text")
+    # every planted span dup shares a >=50-token exact run with its original
+    span_truth = truth.filter("kind = 'span'").select(
+        F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2")
+    )
+    # restrict to (copy, original) pairs: originals are site*, copies mirror*
+    direct = span_truth.filter(
+        (F.col("id_1").contains("mirror") & F.col("id_2").contains("site"))
+        | (F.col("id_2").contains("mirror") & F.col("id_1").contains("site"))
+    )
+    tp = measures.true_positives(direct, cands)
+    fn = measures.false_negatives(direct, cands)
+    assert measures.recall(tp, fn) == 1.0  # winnowing guarantee, not probabilistic
+
+
+def test_fingerprint_verified_span_length(corpus):
+    docs, _ = corpus
+    fps = FingerprintSubstring(span_tokens=32, winnow_window=19)
+    verified = fps.verified_pairs(docs, "url", "text", min_span=50)
+    rows = verified.limit(5).collect()
+    for r in rows:
+        assert r["common_span"] >= 50
+
+
+def test_pipeline_end_to_end_recall(corpus, tmp_path):
+    docs, truth = corpus
+    cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3)
+    pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+    out = pipe.run(docs, id_col="url", text_col="text")
+    # cluster recall over exact+near truth pairs (span dups pair via the
+    # substring pass and land in the same component)
+    t = _pair_truth(truth, ["exact", "near"])
+    rec = measures.cluster_pair_recall(t, out["clusters"], id_col="url")
+    assert rec >= 0.99
+    assert {"stage": s for s in []} is not None
+    stages = [m["stage"] for m in pipe.metrics]
+    assert "candidates" in stages and "clusters" in stages
+
+
+def test_pipeline_resume(corpus, tmp_path):
+    docs, truth = corpus
+    cfg = EngineConfig(num_perm=64, lsh_bands=16, lsh_rows=4)
+    work = str(tmp_path / "wd")
+    p1 = DedupPipeline(cfg, work_dir=work, jaccard_threshold=0.5)
+    out1 = p1.run(docs, id_col="url", text_col="text")
+    n1 = out1["clusters"].count()
+    # resume: second run must skip all stages (no new metrics entries)
+    p2 = DedupPipeline(cfg, work_dir=work, jaccard_threshold=0.5)
+    out2 = p2.run(docs, id_col="url", text_col="text")
+    assert out2["clusters"].count() == n1
+    assert p2.metrics == []  # everything resumed from the manifest

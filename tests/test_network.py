@@ -1,0 +1,65 @@
+"""Graph-op goldens — handwritten pair sets from the reference
+(tests/test_network.py:21-90; FIXTURES.md F5)."""
+
+import pytest
+
+from recordlinkage_spark.network import (
+    ConnectedComponents,
+    OneToManyLinking,
+    OneToOneLinking,
+)
+
+
+@pytest.fixture()
+def sample_pairs(spark):
+    # reference test_network.py input order matters (greedy)
+    data = [(1, 1), (2, 2), (3, 3), (3, 4), (3, 5), (4, 4), (5, 5), (6, 5),
+            (7, 7), (7, 6), (7, 8)]
+    return spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(data)], "id_1 long, id_2 long, seq long"
+    )
+
+
+def test_one_to_one_greedy(sample_pairs):
+    out = OneToOneLinking().compute(sample_pairs)
+    got = sorted((r["id_1"], r["id_2"]) for r in out.collect())
+    # sequential greedy: keep a pair iff neither endpoint seen
+    # (1,1),(2,2),(3,3) kept; (3,4),(3,5) dropped (3 seen); (4,4),(5,5) kept;
+    # (6,5) dropped (5 seen); (7,7) kept; (7,6),(7,8) dropped (7 seen)
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (7, 7)]
+
+
+def test_one_to_many_level0(sample_pairs):
+    out = OneToManyLinking(level=0).compute(sample_pairs)
+    got = sorted((r["id_1"], r["id_2"]) for r in out.collect())
+    # keep first pair per id_1
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 5), (7, 7)]
+
+
+def test_one_to_many_level1(sample_pairs):
+    out = OneToManyLinking(level=1).compute(sample_pairs)
+    got = sorted((r["id_1"], r["id_2"]) for r in out.collect())
+    # keep first pair per id_2
+    assert got == [(1, 1), (2, 2), (3, 3), (3, 4), (3, 5), (7, 6), (7, 7), (7, 8)]
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (8, 9)], "id_1 long, id_2 long"
+    )
+    out = ConnectedComponents().compute(pairs)
+    comp = {r["id"]: r["cluster_id"] for r in out.collect()}
+    # components {1,2,3,4} {5,6,7} {8,9}, labelled by min id
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_connected_components_chain(spark):
+    # long path exercises multiple label-propagation iterations
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_1 long, id_2 long"
+    )
+    out = ConnectedComponents(max_iter=100).compute(pairs)
+    comp = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
