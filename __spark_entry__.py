@@ -146,21 +146,26 @@ def q_compare_geo_supplier(spark, sf):
 # preprocessing (SURVEY.md §2.4)
 # ---------------------------------------------------------------------------
 
-def q_clean_supplier_comments(spark, sf):
+def q_clean_customer_text(spark, sf):
+    """clean() over a synthesized messy string (brackets, punctuation,
+    underscores) — the driver tables carry no free text with punctuation,
+    so both engines build the same input deterministically."""
     from recordlinkage_spark.preprocessing import clean
 
-    supp = _t(spark, sf, "supplier")
-    return supp.select(
-        F.col("s_suppkey").alias("id"), clean(F.col("s_comment")).alias("cleaned")
+    cust = _t(spark, sf, "customer")
+    messy = F.concat(
+        F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(") [Mr_X] :-)")
     )
+    return cust.select(F.col("c_custkey").alias("id"), clean(messy).alias("cleaned"))
 
 
 def q_phonenumbers_customer(spark, sf):
     from recordlinkage_spark.preprocessing import phonenumbers
 
     cust = _t(spark, sf, "customer")
+    messy = F.concat(F.lit("+31 (0)"), F.col("c_name"))
     return cust.select(
-        F.col("c_custkey").alias("id"), phonenumbers(F.col("c_phone")).alias("phone")
+        F.col("c_custkey").alias("id"), phonenumbers(messy).alias("phone")
     )
 
 
@@ -480,7 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_frequency": q_compare_frequency,
         "compare_geo_supplier": q_compare_geo_supplier,
         # preprocessing
-        "clean_supplier_comments": q_clean_supplier_comments,
+        "clean_customer_text": q_clean_customer_text,
         "phonenumbers_customer": q_phonenumbers_customer,
         "value_occurence_customer": q_value_occurence_customer,
         # dedup / text analysis
@@ -577,10 +582,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compare_exact_numeric": f"""
             SELECT id_1, id_2,
-              CASE WHEN seg1 = seg2 THEN 1.0 ELSE 0.0 END AS seg_eq,
+              CAST(CASE WHEN seg1 = seg2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_eq,
               round(pow(2.0, -pow(abs(bal2 - bal1) / 1000.0, 2)), 6) AS bal_gauss,
-              CASE WHEN abs(bal2 - bal1) <= 500.0 THEN 1.0 ELSE 0.0 END AS bal_step,
-              round(1.0 - least(abs(bal2 - bal1), 2000.0) / 2000.0, 6) AS bal_lin
+              CAST(CASE WHEN abs(bal2 - bal1) <= 500.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS bal_step,
+              round(CAST(1.0 - least(abs(bal2 - bal1), 2000.0) / 2000.0 AS DOUBLE), 6) AS bal_lin
             FROM ({_CUSTOMER_PAIRS_SQL})
         """,
         "compare_string_levenshtein": f"""
@@ -589,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
                     / greatest(length(name1), length(name2)), 6) AS name_sim,
               CASE WHEN 1.0 - levenshtein(name1, name2)::DOUBLE
                         / greatest(length(name1), length(name2)) >= 0.8
-                   THEN 1.0 ELSE 0.0 END AS name_thr
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS name_thr
             FROM ({_CUSTOMER_PAIRS_SQL})
         """,
         "compare_date_orders": """
@@ -607,7 +612,7 @@ def oracle_sql() -> dict[str, str]:
                        OR (month(a.o_orderdate) = 10 AND month(b.o_orderdate) = 9))
                   THEN 0.5
                 ELSE 0.0
-              END AS d
+              END::DOUBLE AS d
             FROM orders a JOIN orders b
               ON a.o_custkey = b.o_custkey AND a.o_orderkey > b.o_orderkey
         """,
@@ -634,25 +639,25 @@ def oracle_sql() -> dict[str, str]:
                 ))) / 5000.0, 2)), 6) AS geo_sim
             FROM s a JOIN s b ON a.s_suppkey > b.s_suppkey
         """,
-        "clean_supplier_comments": r"""
-            SELECT s_suppkey AS id,
-              regexp_replace(regexp_replace(
+        "clean_customer_text": r"""
+            SELECT c_custkey AS id,
+              regexp_replace(
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(
-                        regexp_replace(lower(s_comment),
+                        regexp_replace(lower(c_name || ' (' || c_mktsegment || ') [Mr_X] :-)'),
                           '(\[.*?\]|\(.*?\)|\{.*?\})', '', 'g'),
                         '[^ \-\_A-Za-z0-9]+', '', 'g'),
                       '[\-\_]', ' ', 'g'),
                     '\s\s+', ' ', 'g'),
                   '^\s+', '', 'g'),
                 '\s+$', '', 'g') AS cleaned
-            FROM supplier
+            FROM customer
         """,
         "phonenumbers_customer": """
             SELECT c_custkey AS id,
-                   regexp_replace(c_phone, '[^0-9+]+', '', 'g') AS phone
+                   regexp_replace('+31 (0)' || c_name, '[^0-9+]+', '', 'g') AS phone
             FROM customer
         """,
         "value_occurence_customer": """
@@ -745,7 +750,7 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         """,
         "connected_components": """
-            WITH e AS (
+            WITH RECURSIVE e AS (
               SELECT c_custkey AS id_1, c_custkey - c_custkey % 10 AS id_2
               FROM customer WHERE c_custkey <> c_custkey - c_custkey % 10
             ),

@@ -89,7 +89,7 @@ def main() -> None:
             .string("c_name", "c_name", "jarowinkler", threshold=0.85, label="f_jw")
             .exact("c_mktsegment", "c_mktsegment", label="f_seg")
             .exact("c_nationkey", "c_nationkey", label="f_nat")
-            .string("c_address", "c_address", "levenshtein", threshold=0.85, label="f_lev")
+            .string("c_name", "c_name", "levenshtein", threshold=0.85, label="f_lev")
             .numeric("c_acctbal", "c_acctbal", "gauss", scale=1000.0, label="f_bal")
             .compute(pairs, cust, id_col="c_custkey")
         )

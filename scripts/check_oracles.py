@@ -18,10 +18,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -46,6 +50,7 @@ def main(sf_dir: str, only: list[str]):
         if only and name not in only:
             continue
         t0 = time.time()
+        print(f"... {name}: spark", flush=True)
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -58,6 +63,7 @@ def main(sf_dir: str, only: list[str]):
             print(f"{name:32s} rows={len(srows):>8} (rows-only, no oracle) "
                   f"[{time.time() - t0:.1f}s]")
             continue
+        print(f"... {name}: oracle (spark took {time.time() - t0:.1f}s)", flush=True)
         try:
             ores = con.sql(oracles[name])
             ocols = sorted(ores.columns)
@@ -83,8 +89,9 @@ def main(sf_dir: str, only: list[str]):
             oset = sorted(tuple(norm(r[i]) for i in oidx) for r in orows)
             if sset != oset:
                 ok = False
-                diff_s = [x for x in sset if x not in set(oset)][:3]
-                diff_o = [x for x in oset if x not in set(sset)][:3]
+                oset_s, sset_s = set(oset), set(sset)
+                diff_s = [x for x in sset if x not in oset_s][:3]
+                diff_o = [x for x in oset if x not in sset_s][:3]
                 msgs.append(f"values differ; spark-only={diff_s} oracle-only={diff_o}")
         status = "OK " if ok else "FAIL"
         print(f"{name:32s} {status} rows={len(srows):>8} [{time.time() - t0:.1f}s] {'; '.join(msgs)}")

@@ -1,0 +1,118 @@
+"""Scaling-efficiency evidence for the north rule.
+
+No real cluster exists in this sandbox, so (per driver instruction) the
+same dedup job runs at two parallelism levels — local[8] and local[32] —
+on IDENTICAL input; we report docs/sec at both and the per-core-normalized
+scaling efficiency  eff = throughput_32 / (4 * throughput_8).
+
+Each measurement is a fresh JVM (subprocess) so the two runs share nothing.
+Results land in BENCH/BASELINE.md.
+
+Usage:
+    python scripts/scaling_bench.py                 # full report
+    python scripts/scaling_bench.py --child 8 20000 # one measurement (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def child(cpus: int, n_docs: int) -> None:
+    sys.path.insert(0, str(REPO))
+    from recordlinkage_spark import measures
+    from recordlinkage_spark.config import EngineConfig, get_spark
+    from recordlinkage_spark.datagen import webtext_corpus
+    from recordlinkage_spark.pipeline import DedupPipeline
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs, truth = webtext_corpus(spark, n_docs=n_docs, dup_fraction=0.3, seed=42)
+    docs = docs.repartition(cpus * 2).cache()
+    docs.count()
+    truth = truth.cache()
+    truth.count()
+
+    cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3)
+    t0 = time.time()
+    pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+    out = pipe.run(docs, id_col="url", text_col="text")
+    out["clusters"].count()
+    secs = time.time() - t0
+
+    t = truth.filter(F.col("kind").isin(["exact", "near"])).select(
+        F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2")
+    )
+    rec = measures.cluster_pair_recall(t, out["clusters"], id_col="url")
+    print(json.dumps({
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "secs": round(secs, 2),
+        "docs_per_sec": round(n_docs / secs, 1),
+        "dup_pair_recall": round(rec, 5),
+    }))
+    spark.stop()
+
+
+def run_child(cpus: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(cpus), str(n_docs)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"child failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    r8 = run_child(8, n_docs)
+    r32 = run_child(32, n_docs)
+    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    report = {
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+
+    md = f"""# BENCH baseline — dedup pipeline scaling evidence
+
+Same job, same input ({n_docs} synthetic webtext docs, seed 42, 30% planted
+duplicates), two parallelism levels in fresh JVMs (sandbox stand-in for N vs
+4N executor clusters per the driver instruction).
+
+Pipeline: MinHash(128 perms, 32x4 LSH) -> bucket-capped band self-join ->
+exact-Jaccard verify (>= 0.5) -> winnowed-fingerprint substring pass ->
+connected components.
+
+| config | wall sec | docs/sec | dup-pair recall |
+|---|---|---|---|
+| local[8]  | {r8["secs"]} | {r8["docs_per_sec"]} | {r8["dup_pair_recall"]} |
+| local[32] | {r32["secs"]} | {r32["docs_per_sec"]} | {r32["dup_pair_recall"]} |
+
+**Scaling efficiency (throughput_32 / (4 x throughput_8)) = {report["scaling_efficiency"]}**
+(target >= 0.8, BASELINE.json)
+
+Recall gate: dup-pair recall >= 0.99 on exact+near planted duplicates at the
+pinned shingle/signature config (3-word shingles, 128 perms, 32 bands x 4 rows).
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(f"wrote {REPO / 'BENCH' / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
