@@ -216,8 +216,13 @@ def _shingles3(docs):
 def q_ngram_jaccard_pairs(spark, sf):
     """Exact 3-gram Jaccard >= 0.5 over the full dedup space (test-scale
     ground truth for the LSH pass)."""
-    sh = _shingles3(_t(spark, sf, "documents"))
-    a = sh.select(F.col("doc_id").alias("id_1"), F.col("sh").alias("s1"))
+    docs = _t(spark, sf, "documents")
+    sh = _shingles3(docs)
+    # small single-file parquet arrives as 1 partition; spread the O(n^2)
+    # cross join across the cluster
+    a = sh.select(F.col("doc_id").alias("id_1"), F.col("sh").alias("s1")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = sh.select(F.col("doc_id").alias("id_2"), F.col("sh").alias("s2"))
     return (
         a.crossJoin(b)
@@ -315,7 +320,9 @@ def q_embedding_near_dup_exact(spark, sf):
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_1"), F.col("v").alias("v1"))
+    a = emb.select(F.col("vec_id").alias("id_1"), F.col("v").alias("v1")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = emb.select(F.col("vec_id").alias("id_2"), F.col("v").alias("v2"))
     return (
         a.crossJoin(b)

@@ -51,24 +51,60 @@ def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
     a, b = _perm_params(num_perm, seed)
 
     def batch(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
+        np.seterr(over="ignore")  # uint64 wraparound IS the hash arithmetic
+        # flatten the whole Arrow batch: one (k, N_total) multiply + one
+        # segmented min (reduceat) instead of a per-doc Python loop.
+        lengths = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+        valid = lengths > 0
+        if not valid.any():
+            return pd.Series([None] * len(hashes))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h, v in zip(hashes, valid) if v]
+        ).view(np.uint64)
+        offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lengths[valid][:-1], out=offsets[1:])
+        # (k, N) multiply-shift + segmented min, chunked over doc boundaries
+        # to bound the temporary at ~k * 64k u64 (~64 MB) per task.
+        sig_parts = []
+        chunk_hashes = 65536
+        doc_starts = offsets
+        doc_ends = np.append(offsets[1:], len(flat))
+        i = 0
+        n_valid = len(offsets)
+        while i < n_valid:
+            j = i
+            while j < n_valid and doc_ends[j] - doc_starts[i] < chunk_hashes:
+                j += 1
+            j = max(j, i + 1)
+            seg = flat[doc_starts[i] : doc_ends[j - 1]]
+            hashed = a[:, None] * seg[None, :] + b[:, None]
+            sig_parts.append(
+                np.minimum.reduceat(hashed, doc_starts[i:j] - doc_starts[i], axis=1)
+            )
+            i = j
+        sig = np.concatenate(sig_parts, axis=1)  # (k, n_valid)
+        # combine r rows per band with a mixed polynomial hash
+        band = sig.reshape(bands, rows, -1)
+        acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)
+        for r_i in range(rows):
+            acc = acc * _MIX + band[:, r_i, :]
+            acc ^= acc >> np.uint64(33)
+        acc_i64 = acc.view(np.int64)
+        out: list = []
+        vi = 0
+        for v in valid:
+            if v:
+                out.append(acc_i64[:, vi].tolist())
+                vi += 1
+            else:
                 out.append(None)
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            # (k, m) multiply-shift, wraparound mod 2^64
-            sig = (a[:, None] * hv[None, :] + b[:, None]).min(axis=1)
-            # combine r rows per band with a mixed polynomial hash
-            band = sig.reshape(bands, rows)
-            acc = np.zeros(bands, dtype=np.uint64)
-            for r_i in range(rows):
-                acc = acc * _MIX + band[:, r_i]
-                acc ^= acc >> np.uint64(33)
-            out.append(acc.view(np.int64).tolist())
         return pd.Series(out)
 
-    return F.pandas_udf(batch, ArrayType(LongType()))
+    # asNondeterministic stops Catalyst from duplicating the UDF when a
+    # filter (incl. the size>0 inferred for posexplode) is pushed below the
+    # repartition Exchange — otherwise the signature pass runs TWICE, once
+    # on the unpartitioned input.
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
 class MinHashLSH:
@@ -102,7 +138,14 @@ class MinHashLSH:
         return df.withColumn(out, textfns.shingle_hashes(sh))
 
     def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, band_id, band_hash) — one row per non-empty doc per band."""
+        """(id, band_id, band_hash) — one row per non-empty doc per band.
+
+        Repartitions the input when it arrives in fewer partitions than the
+        cluster has parallelism (a single small parquet file otherwise pins
+        the whole signature pass to ONE task)."""
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < dp:
+            df = df.repartition(dp)
         udf = make_band_udf(self.num_perm, self.bands, self.rows, self.seed)
         sig = (
             self.with_shingles(df, text_col)
@@ -118,9 +161,11 @@ class MinHashLSH:
 
         The bucket cap runs BEFORE the self-join: one groupBy counts bucket
         sizes, oversize buckets are dropped (logged), so the join's worst
-        key fans out at most max_bucket_size^2.
+        key fans out at most max_bucket_size^2. The bands table is
+        persisted — it feeds both the size census and both join sides, and
+        recomputing it would re-run the signature UDF three times.
         """
-        bands = self.bands_table(df, id_col, text_col)
+        bands = self.bands_table(df, id_col, text_col).persist()
         key = ["band_id", "band_hash"]
         sizes = bands.groupBy(*key).agg(F.count("*").alias("_n"))
         kept = sizes.filter(F.col("_n") <= self.max_bucket_size)

@@ -25,25 +25,30 @@ def make_simhash_udf():
     """pandas UDF: array<bigint> token/shingle hashes -> int64 simhash."""
 
     def batch(hashes: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")
         shifts = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << shifts).view(np.int64)  # bit weights
+        lengths = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+        valid = lengths > 0
+        if not valid.any():
+            return pd.Series([None] * len(hashes))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h, v in zip(hashes, valid) if v]
+        ).view(np.uint64)
+        offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lengths[valid][:-1], out=offsets[1:])
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(bits, offsets, axis=0)          # (n_valid, 64)
+        majority = votes * 2 > lengths[valid][:, None]          # bit set iff >half
+        sigs = (majority * powers[None, :]).sum(axis=1)         # int64 wraps = packing
         out = np.zeros(len(hashes), dtype=np.int64)
-        valid = np.ones(len(hashes), dtype=bool)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
-                valid[i] = False
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (m, 64)
-            votes = bits.sum(axis=0) * 2 - len(hv)  # (+1/-1 summed)
-            sig = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig.astype(np.int64))
+        out[valid] = sigs
         res = pd.Series(out)
         res[~valid] = None
         return res
 
-    return F.pandas_udf(batch, LongType())
+    # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
+    return F.pandas_udf(batch, LongType()).asNondeterministic()
 
 
 class SimHash:
@@ -61,6 +66,9 @@ class SimHash:
         self.max_bucket_size = max_bucket_size
 
     def signatures(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < dp:
+            df = df.repartition(dp)
         sh = textfns.word_shingles(textfns.tokens(F.col(text_col)), self.shingle_size)
         udf = make_simhash_udf()
         return df.select(
@@ -69,7 +77,8 @@ class SimHash:
         ).filter(F.col("simhash").isNotNull())
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        sigs = self.signatures(df, id_col, text_col)
+        # persisted: feeds the bucket census and both self-join sides
+        sigs = self.signatures(df, id_col, text_col).persist()
         width = 64 // self.blocks
         mask = (1 << width) - 1
         chunks = sigs.select(

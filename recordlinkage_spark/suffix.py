@@ -34,10 +34,10 @@ def make_fingerprint_udf(span: int, window: int):
     """pandas UDF: array<bigint> token hashes -> array<bigint> winnowed
     window fingerprints (distinct)."""
 
-    with np.errstate(over="ignore"):
-        pw = _P
-        for _ in range(span - 2):
-            pw = pw * _P  # P^(span-1) mod 2^64
+    # P is odd -> invertible mod 2^64, so the rolling hash vectorizes:
+    #   H_i = P^(i+span-1) * (T_{i+span} - T_i),  T_k = sum_{j<k} h_j * P^(-j)
+    # all arithmetic uint64-wraparound. No per-token Python loop.
+    p_inv = np.uint64(pow(int(_P), -1, 2**64))
 
     def batch(hashes: pd.Series) -> pd.Series:
         np.seterr(over="ignore")  # uint64 wraparound is the hash function
@@ -47,27 +47,32 @@ def make_fingerprint_udf(span: int, window: int):
                 out.append(None)
                 continue
             hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            m = len(hv) - span + 1
-            # rolling polynomial hash over each span-token window
-            roll = np.zeros(m, dtype=np.uint64)
-            acc = np.uint64(0)
-            for j in range(span):
-                acc = acc * _P + hv[j]
-            roll[0] = acc
-            for j in range(1, m):
-                acc = (acc - hv[j - 1] * pw) * _P + hv[j + span - 1]
-                roll[j] = acc
+            n = len(hv)
+            m = n - span + 1
+            # powers of P and P^-1 via cumulative product (wraparound)
+            invp = np.ones(n, dtype=np.uint64)
+            invp[1:] = p_inv
+            np.multiply.accumulate(invp, out=invp)          # P^-j
+            t = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(hv * invp, out=t[1:])                 # T_k (wraps)
+            pw_fwd = np.ones(m, dtype=np.uint64)
+            pw_fwd[0] = _P
+            for _ in range(span - 2):                       # P^(span-1)
+                pw_fwd[0] = pw_fwd[0] * _P
+            pw_fwd[1:] = _P
+            np.multiply.accumulate(pw_fwd, out=pw_fwd)      # P^(i+span-1)
+            roll = pw_fwd * (t[span:] - t[:m])
             # winnowing: min of each window of `window` consecutive hashes
             if m <= window:
                 sel = np.array([roll.min()], dtype=np.uint64)
             else:
-                # sliding-window min via stride trick (m small per doc)
                 sw = np.lib.stride_tricks.sliding_window_view(roll, window)
                 sel = sw.min(axis=1)
             out.append(np.unique(sel).view(np.int64).tolist())
         return pd.Series(out)
 
-    return F.pandas_udf(batch, ArrayType(LongType()))
+    # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
 class FingerprintSubstring:
@@ -80,6 +85,9 @@ class FingerprintSubstring:
         self.max_bucket_size = max_bucket_size
 
     def fingerprints(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < dp:
+            df = df.repartition(dp)
         tok_hashes = textfns.shingle_hashes(textfns.tokens(F.col(text_col)))
         udf = make_fingerprint_udf(self.span_tokens, self.winnow_window)
         fp = df.select(
@@ -88,7 +96,8 @@ class FingerprintSubstring:
         return fp.select("id", F.explode("_fps").alias("fp"))
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        fps = self.fingerprints(df, id_col, text_col)
+        # persisted: feeds the bucket census and both self-join sides
+        fps = self.fingerprints(df, id_col, text_col).persist()
         sizes = fps.groupBy("fp").agg(F.count("*").alias("_n"))
         fps = fps.join(
             sizes.filter(F.col("_n") <= self.max_bucket_size).select("fp"), "fp"
