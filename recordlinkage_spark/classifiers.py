@@ -168,32 +168,48 @@ class _NBModel:
         lse = mx[:, 0] + np.log(np.exp(jll - mx).sum(axis=1))
         return np.exp(jll[:, 1] - lse)
 
+    def _jll_expr(self, class_idx: int):
+        """Joint log-likelihood for one class as a pure column expression:
+        prior + per-column CASE over the fitted indicator log-probs. The
+        fitted model is embedded as literals — zero joins, zero Python,
+        whole-stage codegen scores every pair."""
+        expr = F.lit(float(self.class_log_prior_[class_idx]))
+        pos = 0
+        for col, classes in zip(self._cols, self.classes_list):
+            x = F.col(col).cast("double")
+            k = classes.shape[0]
+            if k == 1:
+                lp = float(self.feature_log_prob_[class_idx, pos])
+                # single-class binarizer emits the INVERTED indicator
+                expr = expr + F.when(x == float(classes[0]), F.lit(0.0)).otherwise(
+                    F.lit(lp)
+                )
+                pos += 1
+            elif k == 2:
+                lp0 = float(self.feature_log_prob_[class_idx, pos])
+                lp1 = float(self.feature_log_prob_[class_idx, pos + 1])
+                expr = expr + F.when(x == float(classes[1]), F.lit(lp1)).otherwise(
+                    F.lit(lp0)
+                )
+                pos += 2
+            else:
+                case = F.lit(0.0)
+                for j, v in enumerate(classes):
+                    lp = float(self.feature_log_prob_[class_idx, pos + j])
+                    case = F.when(x == float(v), F.lit(lp)).otherwise(case)
+                expr = expr + case
+                pos += k
+        return expr
+
     def _score_df(self, features: DataFrame) -> DataFrame:
-        """Broadcast the fitted model: score every pair with a join against
-        the (tiny) unique-vector score table — one broadcast hash join, no
-        Python in the hot path."""
-        cols = self._cols
-        uniq = features.select(*cols).distinct().collect()
-        X = np.array([[float(r[c]) for c in cols] for r in uniq])
-        if len(X) == 0:
-            return features.select(
-                *PAIR, F.lit(0.0).alias("score"), F.lit(0).alias("label")
-            )
-        post = self._posterior_match(X)
-        jll = self._jll(X)
-        pred = (jll.argmax(axis=1) == 1).astype(int)
-        spark = features.sparkSession
-        rows = [
-            (*[float(x) for x in X[i]], float(post[i]), int(pred[i]))
-            for i in range(len(X))
-        ]
-        schema = ", ".join([f"`{c}` double" for c in cols]) + ", score double, label int"
-        score_tbl = spark.createDataFrame(rows, schema)
-        out = features
-        for c in cols:
-            out = out.withColumn(c, F.col(c).cast("double"))
-        return out.join(F.broadcast(score_tbl), on=cols, how="left").select(
-            *PAIR, "score", "label"
+        jll0 = self._jll_expr(0)
+        jll1 = self._jll_expr(1)
+        # posterior P(match) = 1 / (1 + exp(jll0 - jll1)); argmax = jll1 > jll0
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(jll0 - jll1))
+        return features.select(
+            *PAIR,
+            score.alias("score"),
+            (jll1 > jll0).cast("int").alias("label"),
         )
 
 
