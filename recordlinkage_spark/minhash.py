@@ -191,9 +191,12 @@ class MinHashLSH:
         filtered at ``threshold``. The verify math is pure JVM
         (array_intersect / array_union on bigint arrays)."""
         cands = self.candidate_pairs(df, id_col, text_col)
+        # persist: otherwise Catalyst inlines the (expensive) shingle
+        # expression into both join branches AND the jaccard filter,
+        # re-shingling each doc several times per probed pair.
         sh = self.with_shingles(df, text_col).select(
             F.col(id_col).alias("id"), F.col("_sh")
-        )
+        ).persist()
         j = (
             cands.join(sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1"), "id_1")
             .join(sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2"), "id_2")

@@ -117,9 +117,11 @@ class DedupPipeline:
         # verify the LSH candidates with exact Jaccard on shingle-hash sets
         # (JVM array_intersect/union), threshold filter.
         def build_verified() -> DataFrame:
+            # persist: stops Catalyst inlining the shingle expression into
+            # both join branches + the jaccard filter (re-shingling per pair)
             sh = lsh.with_shingles(records, text_col).select(
                 F.col(id_col).alias("id"), F.col("_sh")
-            )
+            ).persist()
             return (
                 candidates.join(sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1"), "id_1")
                 .join(sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2"), "id_2")

@@ -117,10 +117,12 @@ class FingerprintSubstring:
         (numpy DP per pair in one Arrow batch)."""
         min_span = min_span or self.span_tokens
         cands = self.candidate_pairs(df, id_col, text_col)
+        # persist: see minhash.verified_pairs — avoid token-hash expression
+        # inlining into the join branches
         toks = df.select(
             F.col(id_col).alias("id"),
             textfns.shingle_hashes(textfns.tokens(F.col(text_col))).alias("_t"),
-        )
+        ).persist()
         joined = (
             cands.join(toks.withColumnRenamed("id", "id_1").withColumnRenamed("_t", "_t1"), "id_1")
             .join(toks.withColumnRenamed("id", "id_2").withColumnRenamed("_t", "_t2"), "id_2")

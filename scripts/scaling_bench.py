@@ -41,6 +41,15 @@ def child(cpus: int, n_docs: int) -> None:
     truth = truth.cache()
     truth.count()
 
+    # warm the Python workers (fork + numpy/pandas import per worker) before
+    # the measured window — steady-state throughput, not cluster start-up.
+    from pyspark.sql.types import LongType
+    import pandas as pd  # noqa: F401
+
+    warm = F.pandas_udf(lambda s: s.str.len().astype("int64"), LongType())
+    for _ in range(2):
+        docs.select(warm(F.col("text")).alias("n")).agg(F.sum("n")).collect()
+
     cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3)
     t0 = time.time()
     pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
