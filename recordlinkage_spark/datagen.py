@@ -178,6 +178,109 @@ def webtext_corpus(
     return corpus, truth
 
 
+def _doc_tokens_for_id(doc_id: int, seed: int, lo: int, hi: int) -> list[str]:
+    """Deterministic token sequence for a doc id — regenerable on any
+    executor without shipping the corpus (the scale path's key property)."""
+    rng = np.random.RandomState((seed * 1_000_003 + doc_id) % (2**31 - 1))
+    return [VOCAB[i] for i in rng.randint(0, len(VOCAB), rng.randint(lo, hi))]
+
+
+def webtext_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    dup_fraction: float = 0.3,
+    seed: int = 42,
+    doc_tokens: tuple[int, int] = (40, 160),
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed twin of :func:`webtext_corpus`: generation runs in
+    ``mapInPandas`` over ``spark.range`` — no driver materialization, so
+    bench corpora of millions of docs are cheap. Ids < n_orig are
+    originals; id i >= n_orig duplicates original ``hash(i) % n_orig``
+    (exact / token-edit / long-span kinds by a deterministic draw).
+
+    Returns (corpus, truth) where truth holds (url_1 > url_2, kind) for the
+    direct (dup, original) and (dup, dup) pairs within each cluster.
+    """
+    import pandas as pd  # local import for executors
+
+    n_orig = max(int(n_docs * (1 - dup_fraction)), 1)
+    lo, hi = doc_tokens
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "url": [], "text": [], "lang": [], "_cluster": [],
+                    "_dup_kind": []}
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                if doc_id < n_orig:
+                    toks = _doc_tokens_for_id(doc_id, seed, lo, hi)
+                    kind, cluster = "original", doc_id
+                    url = f"https://site{doc_id % 97}.example.com/page/{doc_id:09d}"
+                else:
+                    rng = np.random.RandomState((seed * 7_000_003 + doc_id) % (2**31 - 1))
+                    cluster = int(rng.randint(0, n_orig))
+                    toks = _doc_tokens_for_id(cluster, seed, lo, hi)
+                    draw = rng.rand()
+                    if draw >= 0.80 and len(toks) < 80:
+                        draw = 0.5
+                    if draw < 0.30:
+                        kind = "exact"
+                    elif draw < 0.80:
+                        kind = "near"
+                        n_edits = max(1, int(len(toks) * rng.uniform(0.02, 0.10)))
+                        toks = _token_edit(rng, list(toks), n_edits)
+                    else:
+                        kind = "span"
+                        span_len = min(len(toks), int(rng.randint(50, 80)))
+                        start = int(rng.randint(0, max(len(toks) - span_len, 1)))
+                        span = toks[start : start + span_len]
+                        toks = (
+                            _make_doc(rng, int(rng.randint(10, 40)))
+                            + span
+                            + _make_doc(rng, int(rng.randint(10, 40)))
+                        )
+                    url = f"https://mirror{doc_id % 53}.example.org/copy/{doc_id:09d}"
+                rows["doc_id"].append(doc_id)
+                rows["url"].append(url)
+                rows["text"].append(" ".join(toks))
+                rows["lang"].append(LANGS[cluster % len(LANGS)])
+                rows["_cluster"].append(cluster)
+                rows["_dup_kind"].append(kind)
+            yield pd.DataFrame(rows)
+
+    base = spark.range(n_docs, numPartitions=parts)
+    corpus = base.mapInPandas(
+        gen,
+        "doc_id long, url string, text string, lang string, _cluster long, _dup_kind string",
+    )
+    from pyspark.sql import functions as F
+
+    members = corpus.select("url", "_cluster", "_dup_kind")
+    a = members.toDF("url_1", "_cluster", "k1")
+    b = members.toDF("url_2", "_cluster", "k2")
+    truth = (
+        a.join(b, "_cluster")
+        .filter(F.col("url_1") > F.col("url_2"))
+        .select(
+            "url_1",
+            "url_2",
+            F.when(
+                (F.col("k1") == "span") | (F.col("k2") == "span"), F.lit("span")
+            )
+            .when(
+                F.col("k1").isin("original", "exact")
+                & F.col("k2").isin("original", "exact"),
+                F.lit("exact"),
+            )
+            .otherwise(F.lit("near"))
+            .alias("kind"),
+        )
+    )
+    return corpus, truth
+
+
 def binary_vectors(
     spark: SparkSession,
     n: int = 10000,

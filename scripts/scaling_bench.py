@@ -28,15 +28,17 @@ def child(cpus: int, n_docs: int) -> None:
     sys.path.insert(0, str(REPO))
     from recordlinkage_spark import measures
     from recordlinkage_spark.config import EngineConfig, get_spark
-    from recordlinkage_spark.datagen import webtext_corpus
+    from recordlinkage_spark.datagen import webtext_corpus_distributed
     from recordlinkage_spark.pipeline import DedupPipeline
     from pyspark.sql import functions as F
 
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
-    docs, truth = webtext_corpus(spark, n_docs=n_docs, dup_fraction=0.3, seed=42)
-    docs = docs.repartition(cpus * 2).cache()
+    docs, truth = webtext_corpus_distributed(
+        spark, n_docs=n_docs, dup_fraction=0.3, seed=42, partitions=cpus * 2
+    )
+    docs = docs.cache()
     docs.count()
     truth = truth.cache()
     truth.count()
