@@ -378,6 +378,17 @@ class ECMClassifier(BaseClassifier, _NBModel):
         """P(feature agrees | non-match) per column."""
         return self._probs_for_value_one(0)
 
+    @property
+    def log_weights(self) -> dict:
+        """Fellegi–Sunter agreement log-weights log(m/u) per column
+        (reference classifiers.py:13-182)."""
+        m, u = self.m_probs, self.u_probs
+        return {
+            c: float(np.log(m[c]) - np.log(u[c]))
+            for c in self._cols
+            if not isinstance(m[c], dict)
+        }
+
 
 class KMeansClassifier(BaseClassifier):
     """Unsupervised 2-cluster KMeans, init centers fixed at 0.05/0.95 per

@@ -308,6 +308,29 @@ class Frequency(BaseCompareFeature):
         return F.when(col.isNull(), F.lit(float(self.missing_value))).otherwise(c)
 
 
+class RandomContinuous(BaseCompareFeature):
+    """Seeded uniform[a,b) feature column for model testing
+    (reference contrib/compare/random/random.py:38-99)."""
+
+    def __init__(self, a: float = 0.0, b: float = 1.0, seed: int = 42, label=None):
+        super().__init__([], [], label)
+        self.a, self.b, self.seed = a, b, seed
+
+    def build(self) -> Column:
+        return F.rand(self.seed) * F.lit(self.b - self.a) + F.lit(self.a)
+
+
+class RandomDiscrete(BaseCompareFeature):
+    """Seeded uniform choice over {0..k-1} (contrib random.py:102-161)."""
+
+    def __init__(self, k: int = 2, seed: int = 42, label=None):
+        super().__init__([], [], label)
+        self.k, self.seed = k, seed
+
+    def build(self) -> Column:
+        return F.floor(F.rand(self.seed) * self.k).cast("double")
+
+
 class CustomVectorized(BaseCompareFeature):
     """User-supplied vectorized kernel — the engine's UDF surface.
 
@@ -368,6 +391,12 @@ class Compare:
 
     def compare_vectorized(self, fn, left_on, right_on, *args, label=None) -> "Compare":
         return self.add(CustomVectorized(fn, left_on, right_on, *args, label=label))
+
+    def random_continuous(self, a=0.0, b=1.0, seed=42, label=None) -> "Compare":
+        return self.add(RandomContinuous(a, b, seed, label=label))
+
+    def random_discrete(self, k=2, seed=42, label=None) -> "Compare":
+        return self.add(RandomDiscrete(k, seed, label=label))
 
     # ------------------------------------------------------------------
     def _labels(self) -> list[str]:
