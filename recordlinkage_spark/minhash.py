@@ -63,26 +63,17 @@ def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
         ).view(np.uint64)
         offsets = np.zeros(int(valid.sum()), dtype=np.int64)
         np.cumsum(lengths[valid][:-1], out=offsets[1:])
-        # (k, N) multiply-shift + segmented min, chunked over doc boundaries
-        # to bound the temporary at ~k * 64k u64 (~64 MB) per task.
-        sig_parts = []
-        chunk_hashes = 65536
-        doc_starts = offsets
-        doc_ends = np.append(offsets[1:], len(flat))
-        i = 0
+        # One permutation at a time with CONTIGUOUS scalar multiply+add —
+        # numpy's stride-0 broadcast integer multiply is ~40x slower than
+        # the contiguous path, so the obvious (k, N) outer product is the
+        # wrong shape. Temporary stays at N u64 (~8 MB per million hashes).
         n_valid = len(offsets)
-        while i < n_valid:
-            j = i
-            while j < n_valid and doc_ends[j] - doc_starts[i] < chunk_hashes:
-                j += 1
-            j = max(j, i + 1)
-            seg = flat[doc_starts[i] : doc_ends[j - 1]]
-            hashed = a[:, None] * seg[None, :] + b[:, None]
-            sig_parts.append(
-                np.minimum.reduceat(hashed, doc_starts[i:j] - doc_starts[i], axis=1)
-            )
-            i = j
-        sig = np.concatenate(sig_parts, axis=1)  # (k, n_valid)
+        sig = np.empty((num_perm, n_valid), dtype=np.uint64)
+        tmp = np.empty(len(flat), dtype=np.uint64)
+        for i in range(num_perm):
+            np.multiply(flat, a[i], out=tmp)
+            tmp += b[i]
+            sig[i] = np.minimum.reduceat(tmp, offsets)
         # combine r rows per band with a mixed polynomial hash
         band = sig.reshape(bands, rows, -1)
         acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)
@@ -132,10 +123,15 @@ class MinHashLSH:
     # ------------------------------------------------------------------
     def with_shingles(self, df: DataFrame, text_col: str, out: str = "_sh") -> DataFrame:
         if self.char_level:
-            sh = textfns.char_shingles(F.col(text_col), self.shingle_size)
+            sh = textfns.shingle_hashes(
+                textfns.char_shingles(F.col(text_col), self.shingle_size)
+            )
         else:
-            sh = textfns.word_shingles(textfns.tokens(F.col(text_col)), self.shingle_size)
-        return df.withColumn(out, textfns.shingle_hashes(sh))
+            # arithmetic combine of token hashes — no n-gram string builds
+            sh = textfns.word_shingle_hashes(
+                textfns.tokens(F.col(text_col)), self.shingle_size
+            )
+        return df.withColumn(out, sh)
 
     def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """(id, band_id, band_hash) — one row per non-empty doc per band.

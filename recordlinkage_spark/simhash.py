@@ -37,14 +37,20 @@ def make_simhash_udf():
         ).view(np.uint64)
         offsets = np.zeros(int(valid.sum()), dtype=np.int64)
         np.cumsum(lengths[valid][:-1], out=offsets[1:])
-        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        # unpackbits on the little-endian byte view: vectorized (N, 64) bit
+        # matrix without the slow stride-0 broadcast shift
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
         votes = np.add.reduceat(bits, offsets, axis=0)          # (n_valid, 64)
         majority = votes * 2 > lengths[valid][:, None]          # bit set iff >half
         sigs = (majority * powers[None, :]).sum(axis=1)         # int64 wraps = packing
         out = np.zeros(len(hashes), dtype=np.int64)
         out[valid] = sigs
-        res = pd.Series(out)
-        res[~valid] = None
+        # nullable Int64: assigning None to a plain int64 Series would
+        # upcast to float64 and corrupt the low signature bits
+        res = pd.Series(out, dtype="Int64")
+        res[~valid] = pd.NA
         return res
 
     # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
@@ -69,11 +75,13 @@ class SimHash:
         dp = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < dp:
             df = df.repartition(dp)
-        sh = textfns.word_shingles(textfns.tokens(F.col(text_col)), self.shingle_size)
+        sh = textfns.word_shingle_hashes(
+            textfns.tokens(F.col(text_col)), self.shingle_size
+        )
         udf = make_simhash_udf()
         return df.select(
             F.col(id_col).alias("id"),
-            udf(textfns.shingle_hashes(sh)).alias("simhash"),
+            udf(sh).alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:

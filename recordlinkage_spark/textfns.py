@@ -49,6 +49,39 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
+def _rotl_xor(acc: Column, h: Column) -> Column:
+    """Order-sensitive hash combine using only bit ops (rotl-13 then xor) —
+    ANSI-safe: long multiply/add would throw on overflow under Spark 4's
+    default ANSI mode, bit shifts cannot."""
+    rot = F.shiftleft(acc, 13).bitwiseOR(F.shiftrightunsigned(acc, 51))
+    return rot.bitwiseXOR(h)
+
+
+def word_shingle_hashes(tok_col: Column, n: int) -> Column:
+    """Distinct word-n-gram hashes WITHOUT building the n-gram strings:
+    hash each token once (xxhash64), then combine n consecutive token
+    hashes with rotate-xor — pure long bit ops in codegen. ~40M string
+    allocations saved per 400k docs vs the string path; the hash identity
+    differs from xxhash64(ngram string) but all passes only need set
+    semantics."""
+    th = F.transform(tok_col, lambda t: F.xxhash64(t))
+
+    def combine(i):
+        acc = F.element_at(th, i + 1)
+        for j in range(1, n):
+            acc = _rotl_xor(acc, F.element_at(th, i + 1 + j))
+        return acc
+
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(0))), combine
+    )
+    # short doc -> one shingle combining all tokens
+    whole = F.aggregate(th, F.lit(0).cast("long"), _rotl_xor)
+    return F.when(
+        F.size(tok_col) <= n, F.array(whole)
+    ).otherwise(F.array_distinct(grams))
+
+
 # --- language ID (n-gram/stopword heuristic) -------------------------------
 
 LANG_MARKERS = {
