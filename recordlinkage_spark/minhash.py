@@ -123,15 +123,14 @@ class MinHashLSH:
     # ------------------------------------------------------------------
     def with_shingles(self, df: DataFrame, text_col: str, out: str = "_sh") -> DataFrame:
         if self.char_level:
-            sh = textfns.shingle_hashes(
-                textfns.char_shingles(F.col(text_col), self.shingle_size)
+            return df.withColumn(
+                out,
+                textfns.shingle_hashes(
+                    textfns.char_shingles(F.col(text_col), self.shingle_size)
+                ),
             )
-        else:
-            # arithmetic combine of token hashes — no n-gram string builds
-            sh = textfns.word_shingle_hashes(
-                textfns.tokens(F.col(text_col)), self.shingle_size
-            )
-        return df.withColumn(out, sh)
+        # arithmetic combine of token hashes — no n-gram string builds
+        return textfns.with_word_shingle_hashes(df, text_col, self.shingle_size, out)
 
     def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """(id, band_id, band_hash) — one row per non-empty doc per band.
@@ -153,25 +152,45 @@ class MinHashLSH:
         )
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """Self-join on (band_id, band_hash) -> distinct (id_1, id_2).
+        """Bucket-aggregate pair generation: ONE shuffle groups band rows
+        into buckets, in-bucket pairs are emitted JVM-side from the
+        collected id array, then one distinct.
 
-        The bucket cap runs BEFORE the self-join: one groupBy counts bucket
-        sizes, oversize buckets are dropped (logged), so the join's worst
-        key fans out at most max_bucket_size^2. The bands table is
-        persisted — it feeds both the size census and both join sides, and
-        recomputing it would re-run the signature UDF three times.
+        This replaces the census + self-join shape (3 reads of the bands
+        table + a 12.8M-row persist at 400k docs) with a single
+        ``groupBy(band_id, band_hash).collect_list(id)``. The bucket cap is
+        a size filter on the aggregated array — oversize (boilerplate)
+        buckets are dropped before the quadratic pair expansion, so the
+        worst bucket emits at most max_bucket_size^2/2 pairs.
         """
-        bands = self.bands_table(df, id_col, text_col).persist()
-        key = ["band_id", "band_hash"]
-        sizes = bands.groupBy(*key).agg(F.count("*").alias("_n"))
-        kept = sizes.filter(F.col("_n") <= self.max_bucket_size)
-        bands = bands.join(kept.select(*key), key, "inner")
-        left = bands.withColumnRenamed("id", "id_1")
-        right = bands.withColumnRenamed("id", "id_2")
+        bands = self.bands_table(df, id_col, text_col)
+        buckets = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.collect_list("id").alias("_ids"))
+            .filter(
+                (F.size("_ids") >= 2) & (F.size("_ids") <= self.max_bucket_size)
+            )
+        )
+        ids = F.col("_ids")
+        pair_array = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ids) - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(ids) - 1),
+                    lambda j: F.struct(
+                        F.greatest(
+                            F.element_at(ids, i + 1), F.element_at(ids, j + 1)
+                        ).alias("id_1"),
+                        F.least(
+                            F.element_at(ids, i + 1), F.element_at(ids, j + 1)
+                        ).alias("id_2"),
+                    ),
+                ),
+            )
+        )
         return (
-            left.join(right, key)
-            .filter(F.col("id_1") > F.col("id_2"))
-            .select("id_1", "id_2")
+            buckets.select(F.explode(pair_array).alias("_p"))
+            .select("_p.id_1", "_p.id_2")
             .dropDuplicates(["id_1", "id_2"])
         )
 

@@ -75,13 +75,11 @@ class SimHash:
         dp = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < dp:
             df = df.repartition(dp)
-        sh = textfns.word_shingle_hashes(
-            textfns.tokens(F.col(text_col)), self.shingle_size
-        )
         udf = make_simhash_udf()
+        df = textfns.with_word_shingle_hashes(df, text_col, self.shingle_size, "_sh")
         return df.select(
             F.col(id_col).alias("id"),
-            udf(sh).alias("simhash"),
+            udf(F.col("_sh")).alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:

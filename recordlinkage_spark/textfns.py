@@ -57,29 +57,52 @@ def _rotl_xor(acc: Column, h: Column) -> Column:
     return rot.bitwiseXOR(h)
 
 
-def word_shingle_hashes(tok_col: Column, n: int) -> Column:
-    """Distinct word-n-gram hashes WITHOUT building the n-gram strings:
-    hash each token once (xxhash64), then combine n consecutive token
-    hashes with rotate-xor — pure long bit ops in codegen. ~40M string
-    allocations saved per 400k docs vs the string path; the hash identity
-    differs from xxhash64(ngram string) but all passes only need set
-    semantics."""
-    th = F.transform(tok_col, lambda t: F.xxhash64(t))
+def token_hashes(tok_col: Column) -> Column:
+    """xxhash64 per token -> array<bigint>."""
+    return F.transform(tok_col, lambda t: F.xxhash64(t))
+
+
+def gram_hashes(th_col: Column, n_tokens: Column, n: int) -> Column:
+    """Distinct word-n-gram hashes from an ALREADY-BOUND token-hash array
+    column: combine n consecutive token hashes with rotate-xor — pure long
+    bit ops in codegen, no n-gram strings.
+
+    IMPORTANT: ``th_col``/``n_tokens`` must be real columns (attributes),
+    not inline expressions — ``element_at`` references the array n times
+    per gram position and Catalyst re-inlines non-attribute expressions at
+    every use site (an O(tokens^2) blowup measured at 8x wall time).
+    """
 
     def combine(i):
-        acc = F.element_at(th, i + 1)
+        acc = F.element_at(th_col, i + 1)
         for j in range(1, n):
-            acc = _rotl_xor(acc, F.element_at(th, i + 1 + j))
+            acc = _rotl_xor(acc, F.element_at(th_col, i + 1 + j))
         return acc
 
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(0))), combine
+        F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))), combine
     )
     # short doc -> one shingle combining all tokens
-    whole = F.aggregate(th, F.lit(0).cast("long"), _rotl_xor)
-    return F.when(
-        F.size(tok_col) <= n, F.array(whole)
-    ).otherwise(F.array_distinct(grams))
+    whole = F.aggregate(th_col, F.lit(0).cast("long"), _rotl_xor)
+    return F.when(n_tokens <= n, F.array(whole)).otherwise(F.array_distinct(grams))
+
+
+def with_word_shingle_hashes(df, text_col: str, n: int, out: str = "_sh"):
+    """df + ``out`` = distinct word-n-gram hash array. Binds the token and
+    token-hash arrays as real columns first (see gram_hashes)."""
+    df = df.withColumn("_toks__", tokens(F.col(text_col)))
+    df = df.withColumn("_th__", token_hashes(F.col("_toks__")))
+    df = df.withColumn(
+        out, gram_hashes(F.col("_th__"), F.size(F.col("_toks__")), n)
+    )
+    return df.drop("_toks__", "_th__")
+
+
+def word_shingle_hashes(tok_col: Column, n: int) -> Column:
+    """Single-expression variant for small/test data. On hot paths use
+    :func:`with_word_shingle_hashes` (bound columns, no re-inlining)."""
+    th = token_hashes(tok_col)
+    return gram_hashes(th, F.size(tok_col), n)
 
 
 # --- language ID (n-gram/stopword heuristic) -------------------------------

@@ -55,14 +55,18 @@ def child(cpus: int, n_docs: int) -> None:
     cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3)
     t0 = time.time()
     pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
-    out = pipe.run(docs, id_col="url", text_col="text")
+    out = pipe.run(docs, id_col="doc_id", text_col="text")
     out["clusters"].count()
     secs = time.time() - t0
 
     t = truth.filter(F.col("kind").isin(["exact", "near"])).select(
         F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2")
     )
-    rec = measures.cluster_pair_recall(t, out["clusters"], id_col="url")
+    id_map = docs.select("doc_id", "url")
+    clusters = out["clusters"].join(id_map, "doc_id").select(
+        F.col("url").alias("id"), "cluster_id"
+    )
+    rec = measures.cluster_pair_recall(t, clusters, id_col="id")
     print(json.dumps({
         "cpus": cpus,
         "n_docs": n_docs,
