@@ -80,7 +80,9 @@ def get_spark(
         # Arrow for pandas UDFs — the only Python hot path we allow.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM shared by all task slots: size the heap for
+        # 32 concurrent array-heavy tasks or GC thrash inverts scaling
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
