@@ -41,19 +41,45 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _bands_from_segments(
+    flat: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray,
+    num_perm: int, bands: int, rows: int,
+) -> np.ndarray:
+    """MinHash signatures + band combine over a flat segmented uint64 hash
+    array. Returns (bands, n_docs) int64 band hashes.
+
+    One permutation at a time with CONTIGUOUS scalar multiply+add — numpy's
+    stride-0 broadcast integer multiply is ~40x slower than the contiguous
+    path, so the obvious (k, N) outer product is the wrong shape. The
+    temporary stays at N u64 (~8 MB per million hashes)."""
+    n_docs = len(offsets)
+    sig = np.empty((num_perm, n_docs), dtype=np.uint64)
+    tmp = np.empty(len(flat), dtype=np.uint64)
+    for i in range(num_perm):
+        np.multiply(flat, a[i], out=tmp)
+        tmp += b[i]
+        sig[i] = np.minimum.reduceat(tmp, offsets)
+    # combine r rows per band with a mixed polynomial hash
+    band = sig.reshape(bands, rows, -1)
+    acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)
+    for r_i in range(rows):
+        acc = acc * _MIX + band[:, r_i, :]
+        acc ^= acc >> np.uint64(33)
+    return acc.view(np.int64)
+
+
 def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
     """pandas UDF: array<bigint> shingle hashes -> array<bigint> band hashes.
 
     Signature and banding fused into ONE Arrow pass (SURVEY.md §4.5: fuse
-    multi-output UDFs manually instead of chaining Python stages)."""
+    multi-output UDFs manually instead of chaining Python stages). Prefer
+    :func:`make_text_band_udf` on the hot path (fuses the shingling too)."""
     if bands * rows != num_perm:
         raise ValueError("num_perm must equal bands * rows")
     a, b = _perm_params(num_perm, seed)
 
     def batch(hashes: pd.Series) -> pd.Series:
         np.seterr(over="ignore")  # uint64 wraparound IS the hash arithmetic
-        # flatten the whole Arrow batch: one (k, N_total) multiply + one
-        # segmented min (reduceat) instead of a per-doc Python loop.
         lengths = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
         valid = lengths > 0
         if not valid.any():
@@ -63,24 +89,9 @@ def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
         ).view(np.uint64)
         offsets = np.zeros(int(valid.sum()), dtype=np.int64)
         np.cumsum(lengths[valid][:-1], out=offsets[1:])
-        # One permutation at a time with CONTIGUOUS scalar multiply+add —
-        # numpy's stride-0 broadcast integer multiply is ~40x slower than
-        # the contiguous path, so the obvious (k, N) outer product is the
-        # wrong shape. Temporary stays at N u64 (~8 MB per million hashes).
-        n_valid = len(offsets)
-        sig = np.empty((num_perm, n_valid), dtype=np.uint64)
-        tmp = np.empty(len(flat), dtype=np.uint64)
-        for i in range(num_perm):
-            np.multiply(flat, a[i], out=tmp)
-            tmp += b[i]
-            sig[i] = np.minimum.reduceat(tmp, offsets)
-        # combine r rows per band with a mixed polynomial hash
-        band = sig.reshape(bands, rows, -1)
-        acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)
-        for r_i in range(rows):
-            acc = acc * _MIX + band[:, r_i, :]
-            acc ^= acc >> np.uint64(33)
-        acc_i64 = acc.view(np.int64)
+        acc_i64 = _bands_from_segments(
+            flat, offsets, a, b, num_perm, bands, rows
+        )
         out: list = []
         vi = 0
         for v in valid:
@@ -96,6 +107,146 @@ def make_band_udf(num_perm: int, bands: int, rows: int, seed: int = 42):
     # repartition Exchange — otherwise the signature pass runs TWICE, once
     # on the unpartitioned input.
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+
+
+def make_text_band_udf(
+    num_perm: int, bands: int, rows: int, shingle_size: int, seed: int = 42
+):
+    """pandas UDF: raw text -> array<bigint> band hashes, fully fused.
+
+    tokenize (str.split) -> siphash per token (pd.util.hash_array) ->
+    rotate-xor n-gram combine -> MinHash -> band hash, all vectorized numpy
+    in ONE Arrow pass. This exists because evaluating the same shingling as
+    JVM higher-order expressions (transform/aggregate lambdas are
+    interpreted, not codegen'd) measured ~35x slower. Null text -> null."""
+    if bands * rows != num_perm:
+        raise ValueError("num_perm must equal bands * rows")
+    a, b = _perm_params(num_perm, seed)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        acc_i64 = _bands_from_segments(grams, offsets, a, b, num_perm, bands, rows)
+        return pd.Series(
+            [None if na else acc_i64[:, i] for i, na in enumerate(isna)],
+            dtype=object,
+        )
+
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+
+
+def make_shingle_array_udf(shingle_size: int):
+    """pandas UDF: raw text -> array<bigint> DISTINCT shingle hashes — the
+    verify-stage shingle table (exact Jaccard runs JVM-side on these
+    arrays). Hash scheme is identical to :func:`make_text_band_udf`, so the
+    candidate and verify stages agree bit-for-bit."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
+        grams, counts = textfns.distinct_per_doc_np(grams, counts)
+        return textfns.segments_to_series(grams, counts, isna)
+
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+
+
+def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
+    """All unordered in-segment pairs of a flat segmented id array,
+    fully vectorized: the k-th pair of an m-element segment maps to
+    upper-triangle indices (i, j) by the closed-form triangular inverse
+    (same trick as the reference's Random indexer,
+    recordlinkage/algorithms/indexing.py:8-17, applied per segment).
+
+    Returns (a, b) with a = elementwise max, b = min. Exact for
+    m <= ~2^26 (float64 sqrt is exact on these integer ranges).
+    """
+    sizes = sizes.astype(np.int64)
+    pair_counts = sizes * (sizes - 1) // 2
+    total = int(pair_counts.sum())
+    if total == 0:
+        return ids[:0], ids[:0]
+    seg_starts = np.cumsum(sizes) - sizes
+    pair_starts = np.cumsum(pair_counts) - pair_counts
+    grp = np.repeat(np.arange(len(sizes)), pair_counts)
+    k = np.arange(total, dtype=np.int64) - pair_starts[grp]
+    m = sizes[grp]
+    # row index i: largest i with i*(2m-i-1)/2 <= k
+    i = ((2 * m - 1) - np.sqrt((2 * m - 1).astype(np.float64) ** 2 - 8 * k)) // 2
+    i = i.astype(np.int64)
+    j = k - i * (2 * m - i - 1) // 2 + i + 1
+    base = seg_starts[grp]
+    x, y = ids[base + i], ids[base + j]
+    return np.maximum(x, y), np.minimum(x, y)
+
+
+def _make_bucket_pair_expander(cap: int):
+    """mapInPandas function over (id, band_id, band_hash) rows that are
+    hash-partitioned AND sorted by (band_id, band_hash): emits in-bucket
+    pairs. Streams Arrow batches with a carry-over for the bucket that
+    spans a batch boundary; a bucket that grows past ``cap`` rows is
+    dropped immediately (bounded memory under mega-bucket skew)."""
+
+    def expand(batches):
+        carry: pd.DataFrame | None = None
+        drop_key = None  # (band_id, band_hash) of a poisoned oversize bucket
+
+        def emit(pdf: pd.DataFrame, hold_last: bool):
+            nonlocal carry, drop_key
+            bid = pdf["band_id"].to_numpy()
+            bh = pdf["band_hash"].to_numpy()
+            if drop_key is not None:
+                keep = ~((bid == drop_key[0]) & (bh == drop_key[1]))
+                if keep.all():
+                    drop_key = None
+                else:
+                    pdf = pdf[keep]
+                    if len(pdf) == 0:
+                        carry = None
+                        return None
+                    bid, bh = bid[keep], bh[keep]
+            change = np.nonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]))[0] + 1
+            if hold_last:
+                last_start = change[-1] if len(change) else 0
+                carry = pdf.iloc[last_start:]
+                if len(carry) > cap:  # oversize bucket: poison + drop now
+                    drop_key = (bid[last_start], bh[last_start])
+                    carry = None
+                pdf = pdf.iloc[:last_start]
+                if last_start == 0:
+                    return None
+                change = change[:-1]
+            starts = np.concatenate(([0], change))
+            sizes = np.diff(np.concatenate((starts, [len(pdf)])))
+            ok = (sizes >= 2) & (sizes <= cap)
+            if not ok.any():
+                return None
+            ids = pdf["id"].to_numpy()
+            # compact to kept segments only
+            keep_rows = np.repeat(ok, sizes)
+            a, b = segment_pairs_np(ids[keep_rows], sizes[ok])
+            if len(a) == 0:
+                return None
+            return pd.DataFrame({"id_1": a, "id_2": b})
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            out = emit(pdf, hold_last=True)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = emit(carry, hold_last=False)
+            if out is not None:
+                yield out
+
+    return expand
 
 
 class MinHashLSH:
@@ -129,11 +280,13 @@ class MinHashLSH:
                     textfns.char_shingles(F.col(text_col), self.shingle_size)
                 ),
             )
-        # arithmetic combine of token hashes — no n-gram string builds
-        return textfns.with_word_shingle_hashes(df, text_col, self.shingle_size, out)
+        # fused tokenize+hash+shingle in one Arrow pass (see textfns module
+        # docstring: interpreted JVM lambda expressions are ~35x slower)
+        udf = make_shingle_array_udf(self.shingle_size)
+        return df.withColumn(out, udf(F.col(text_col)))
 
     def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, band_id, band_hash) — one row per non-empty doc per band.
+        """(id, band_id, band_hash) — one row per non-null doc per band.
 
         Repartitions the input when it arrives in fewer partitions than the
         cluster has parallelism (a single small parquet file otherwise pins
@@ -141,10 +294,20 @@ class MinHashLSH:
         dp = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < dp:
             df = df.repartition(dp)
-        udf = make_band_udf(self.num_perm, self.bands, self.rows, self.seed)
+        if self.char_level:
+            udf = make_band_udf(self.num_perm, self.bands, self.rows, self.seed)
+            sig_col = udf(
+                textfns.shingle_hashes(
+                    textfns.char_shingles(F.col(text_col), self.shingle_size)
+                )
+            )
+        else:
+            udf = make_text_band_udf(
+                self.num_perm, self.bands, self.rows, self.shingle_size, self.seed
+            )
+            sig_col = udf(F.col(text_col))
         sig = (
-            self.with_shingles(df, text_col)
-            .select(F.col(id_col).alias("id"), udf(F.col("_sh")).alias("_bands"))
+            df.select(F.col(id_col).alias("id"), sig_col.alias("_bands"))
             .filter(F.col("_bands").isNotNull())
         )
         return sig.select(
@@ -152,47 +315,35 @@ class MinHashLSH:
         )
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """Bucket-aggregate pair generation: ONE shuffle groups band rows
-        into buckets, in-bucket pairs are emitted JVM-side from the
-        collected id array, then one distinct.
+        """Bucket pair generation: ONE shuffle co-locates band rows by
+        (band_id, band_hash), a per-partition sort makes buckets contiguous,
+        and a vectorized Arrow pass expands in-bucket pairs; then one
+        distinct.
 
-        This replaces the census + self-join shape (3 reads of the bands
-        table + a 12.8M-row persist at 400k docs) with a single
-        ``groupBy(band_id, band_hash).collect_list(id)``. The bucket cap is
-        a size filter on the aggregated array — oversize (boilerplate)
-        buckets are dropped before the quadratic pair expansion, so the
-        worst bucket emits at most max_bucket_size^2/2 pairs.
-        """
+        Why not ``groupBy().collect_list()``: a hash aggregation over
+        millions of mostly-singleton group keys costs ~5x the raw shuffle
+        (measured 19-23s vs 4.4s for the same 3.2M rows) — the per-group
+        object buffers and the sort-fallback dominate. Repartition + sort +
+        mapInPandas does the same co-location with plain shuffle machinery
+        and expands pairs with closed-form triangular indexing (no per-pair
+        Python, no interpreted array lambdas).
+
+        Skew (north_rule): oversize buckets — boilerplate band collisions —
+        are dropped (and only ever buffered up to ``max_bucket_size + one
+        Arrow batch`` rows thanks to the streaming carry-over), so a
+        mega-bucket can neither OOM an executor nor emit O(n^2) pairs. AQE
+        handles residual moderate skew."""
+        spark = df.sparkSession
         bands = self.bands_table(df, id_col, text_col)
-        buckets = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.collect_list("id").alias("_ids"))
-            .filter(
-                (F.size("_ids") >= 2) & (F.size("_ids") <= self.max_bucket_size)
-            )
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        grouped = bands.repartition(n_part, "band_id", "band_hash").sortWithinPartitions(
+            "band_id", "band_hash"
         )
-        ids = F.col("_ids")
-        pair_array = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size(ids) - 2),
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.size(ids) - 1),
-                    lambda j: F.struct(
-                        F.greatest(
-                            F.element_at(ids, i + 1), F.element_at(ids, j + 1)
-                        ).alias("id_1"),
-                        F.least(
-                            F.element_at(ids, i + 1), F.element_at(ids, j + 1)
-                        ).alias("id_2"),
-                    ),
-                ),
-            )
-        )
-        return (
-            buckets.select(F.explode(pair_array).alias("_p"))
-            .select("_p.id_1", "_p.id_2")
-            .dropDuplicates(["id_1", "id_2"])
-        )
+        id_type = df.schema[id_col].dataType.simpleString()
+        cap = self.max_bucket_size
+        expand = _make_bucket_pair_expander(cap)
+        pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
+        return pairs.dropDuplicates(["id_1", "id_2"])
 
     def verified_pairs(
         self,

@@ -57,6 +57,48 @@ def make_simhash_udf():
     return F.pandas_udf(batch, LongType()).asNondeterministic()
 
 
+def _simhash_from_segments(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """SimHash per doc segment of a flat uint64 hash array -> int64 array.
+    Docs with count 0 get signature 0."""
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).view(np.int64)
+    # unpackbits on the little-endian byte view: vectorized (N, 64) bit
+    # matrix without the slow stride-0 broadcast shift
+    bits = np.unpackbits(
+        flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    votes = np.add.reduceat(bits, offsets, axis=0) if len(flat) else np.zeros(
+        (len(counts), 64), dtype=np.int64
+    )
+    # reduceat quirk: an empty segment (offsets[i] == offsets[i+1]) returns
+    # the element AT the offset instead of zero — mask those out
+    votes[counts == 0] = 0
+    majority = votes * 2 > counts[:, None]
+    return (majority * powers[None, :]).sum(axis=1)
+
+
+def make_text_simhash_udf(shingle_size: int):
+    """pandas UDF: raw text -> int64 simhash, fully fused (tokenize + hash
+    + n-gram combine + distinct + bit votes in one Arrow pass; see
+    textfns module docstring for why not JVM expressions)."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
+        # distinct matters here (unlike MinHash): repeated shingles must not
+        # stack votes, matching Jaccard-on-sets semantics
+        grams, counts = textfns.distinct_per_doc_np(grams, counts)
+        sigs = _simhash_from_segments(grams, counts)
+        res = pd.Series(sigs, dtype="Int64", index=texts.index)
+        res[isna] = pd.NA
+        return res
+
+    return F.pandas_udf(batch, LongType()).asNondeterministic()
+
+
 class SimHash:
     """SimHash near-dup index: signature, chunk buckets, Hamming filter."""
 
@@ -75,11 +117,10 @@ class SimHash:
         dp = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < dp:
             df = df.repartition(dp)
-        udf = make_simhash_udf()
-        df = textfns.with_word_shingle_hashes(df, text_col, self.shingle_size, "_sh")
+        udf = make_text_simhash_udf(self.shingle_size)
         return df.select(
             F.col(id_col).alias("id"),
-            udf(F.col("_sh")).alias("simhash"),
+            udf(F.col(text_col)).alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:

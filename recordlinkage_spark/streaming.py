@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from recordlinkage_spark import textfns
-from recordlinkage_spark.minhash import make_band_udf
+from recordlinkage_spark.minhash import make_text_band_udf
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,12 +60,9 @@ def streaming_minhash_signatures(
 ) -> DataFrame:
     """Stateless signature extraction on a stream: (id, band_id, band_hash)
     rows ready to append to the signature table the periodic LSH join scans."""
-    udf = make_band_udf(num_perm, bands, rows)
-    sh = textfns.shingle_hashes(
-        textfns.word_shingles(textfns.tokens(F.col(text_col)), shingle_size)
-    )
+    udf = make_text_band_udf(num_perm, bands, rows, shingle_size)
     sig = stream.select(
-        F.col(id_col).alias("id"), udf(sh).alias("_bands")
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_bands")
     ).filter(F.col("_bands").isNotNull())
     return sig.select("id", F.posexplode("_bands").alias("band_id", "band_hash"))
 

@@ -5,9 +5,10 @@ Not in the reference (SURVEY.md §2.2 "new") — handles the north rule's
 see cross-partition duplicates; the scalable equivalent is document
 fingerprinting (Schleimer/Wilkerson/Aiken 2003, "winnowing"):
 
-  tokens -> xxhash64 per token (JVM) -> rolling polynomial hash of every
-  ``span_tokens``-token window (numpy) -> winnowing: keep the min hash of
-  each ``winnow_window`` consecutive windows -> explode -> equi-join on the
+  text -> tokenize + siphash per token (vectorized, Python-side: see
+  textfns module docstring) -> rolling polynomial hash of every
+  ``span_tokens``-token window -> winnowing: keep the min hash of each
+  ``winnow_window`` consecutive windows -> explode -> equi-join on the
   fingerprint.
 
 Guarantee: any exact common token span of length >= span_tokens +
@@ -15,6 +16,11 @@ winnow_window - 1 shares at least one selected fingerprint, so with the
 defaults (32, 19) every shared 50-token span is caught — deterministically,
 not probabilistically. Optional exact verification computes the true
 longest common token run per candidate pair.
+
+The whole kernel is segment-vectorized over the Arrow batch: rolling
+hashes, the sliding-window min, and the per-doc distinct each run as ONE
+numpy pass over the flat concatenated token stream with doc-boundary
+masking — no per-doc Python loop on the hot path.
 """
 
 from __future__ import annotations
@@ -30,48 +36,95 @@ from recordlinkage_spark import textfns
 _P = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
 
-def make_fingerprint_udf(span: int, window: int):
-    """pandas UDF: array<bigint> token hashes -> array<bigint> winnowed
-    window fingerprints (distinct)."""
+def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
+                           span: int, window: int):
+    """Winnowed fingerprints per doc over a flat segmented token-hash array.
 
-    # P is odd -> invertible mod 2^64, so the rolling hash vectorizes:
-    #   H_i = P^(i+span-1) * (T_{i+span} - T_i),  T_k = sum_{j<k} h_j * P^(-j)
-    # all arithmetic uint64-wraparound. No per-token Python loop.
+    Returns ``(vals, counts)``: flat uint64 fingerprints (distinct + sorted
+    within each doc) and per-doc counts (0 for docs shorter than ``span``).
+
+    Rolling hash: H_i = P^(i+span-1) * (T_{i+span} - T_i) with
+    T_k = sum_{j<k} h_j * P^(-j), all uint64-wraparound (P odd => P
+    invertible mod 2^64). H_i depends only on the window's CONTENT —
+    global-position exponents cancel — so computing it over the whole
+    flat batch and masking windows that cross doc boundaries is exact.
+    """
+    np.seterr(over="ignore")
+    ndocs = len(lengths)
+    total = len(flat)
+    # windows per doc / selected fingerprints per doc
+    m = np.maximum(lengths - span + 1, 0)
+    sel_counts = np.where(m > window, m - window + 1, (m > 0).astype(np.int64))
+    M = total - span + 1
+    if total == 0 or M <= 0 or not m.any():
+        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64)
+
+    # --- global rolling hash -------------------------------------------
     p_inv = np.uint64(pow(int(_P), -1, 2**64))
+    invp = np.ones(total, dtype=np.uint64)
+    invp[1:] = p_inv
+    np.multiply.accumulate(invp, out=invp)               # P^(-i)
+    t = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(flat * invp, out=t[1:])                    # T_k (wraps)
+    pw = np.empty(M, dtype=np.uint64)
+    pw[0] = _P
+    for _ in range(span - 2):                            # P^(span-1)
+        pw[0] = pw[0] * _P
+    pw[1:] = _P
+    np.multiply.accumulate(pw, out=pw)                   # P^(i+span-1)
+    roll = pw * (t[span:] - t[:M])
 
-    def batch(hashes: pd.Series) -> pd.Series:
-        np.seterr(over="ignore")  # uint64 wraparound is the hash function
-        out = []
-        for h in hashes:
-            if h is None or len(h) < span:
-                out.append(None)
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            n = len(hv)
-            m = n - span + 1
-            # powers of P and P^-1 via cumulative product (wraparound)
-            invp = np.ones(n, dtype=np.uint64)
-            invp[1:] = p_inv
-            np.multiply.accumulate(invp, out=invp)          # P^-j
-            t = np.zeros(n + 1, dtype=np.uint64)
-            np.cumsum(hv * invp, out=t[1:])                 # T_k (wraps)
-            pw_fwd = np.ones(m, dtype=np.uint64)
-            pw_fwd[0] = _P
-            for _ in range(span - 2):                       # P^(span-1)
-                pw_fwd[0] = pw_fwd[0] * _P
-            pw_fwd[1:] = _P
-            np.multiply.accumulate(pw_fwd, out=pw_fwd)      # P^(i+span-1)
-            roll = pw_fwd * (t[span:] - t[:m])
-            # winnowing: min of each window of `window` consecutive hashes
-            if m <= window:
-                sel = np.array([roll.min()], dtype=np.uint64)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(roll, window)
-                sel = sw.min(axis=1)
-            out.append(np.unique(sel).view(np.int64).tolist())
-        return pd.Series(out)
+    # keep only windows fully inside one doc
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+    flat_roll = roll[doc_of[:M] == doc_of[span - 1:]]    # segmented by doc, counts m
+
+    # --- winnowing: per-doc sliding min of width `window` ----------------
+    roll_ends = np.cumsum(m)
+    roll_starts = roll_ends - m
+    out = np.empty(int(sel_counts.sum()), dtype=np.uint64)
+    out_ends = np.cumsum(sel_counts)
+    out_starts = out_ends - sel_counts
+    W = len(flat_roll) - window + 1
+    if W > 0:
+        sw_min = np.lib.stride_tricks.sliding_window_view(
+            flat_roll, window
+        ).min(axis=1)
+        roll_doc = np.repeat(np.arange(ndocs, dtype=np.int64), m)
+        pos = np.nonzero(roll_doc[:W] == roll_doc[window - 1:])[0]
+        d = roll_doc[pos]
+        out[out_starts[d] + (pos - roll_starts[d])] = sw_min[pos]
+    # docs with 1 <= m <= window: one fingerprint = min of the segment
+    for d in np.nonzero((m > 0) & (m <= window))[0]:
+        out[out_starts[d]] = flat_roll[roll_starts[d]:roll_ends[d]].min()
+
+    return textfns.distinct_per_doc_np(out, sel_counts)
+
+
+def make_fingerprint_udf(span: int, window: int):
+    """pandas UDF: raw text -> array<bigint> winnowed fingerprints
+    (distinct). Null text or docs shorter than ``span`` tokens -> null."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        vals, counts = winnow_fingerprints_np(flat, lengths, span, window)
+        res = textfns.segments_to_series(vals, counts, isna)
+        # too-short docs -> null (explode drops empties anyway; null keeps
+        # the historical contract)
+        res[(counts == 0) & ~isna] = None
+        return res
 
     # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+
+
+def make_token_hash_udf():
+    """pandas UDF: raw text -> array<bigint> per-token hashes (ordered,
+    non-distinct) — input for exact longest-common-run verification."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        return textfns.segments_to_series(flat, lengths, isna)
+
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
@@ -88,10 +141,9 @@ class FingerprintSubstring:
         dp = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < dp:
             df = df.repartition(dp)
-        tok_hashes = textfns.shingle_hashes(textfns.tokens(F.col(text_col)))
         udf = make_fingerprint_udf(self.span_tokens, self.winnow_window)
         fp = df.select(
-            F.col(id_col).alias("id"), udf(tok_hashes).alias("_fps")
+            F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_fps")
         ).filter(F.col("_fps").isNotNull())
         return fp.select("id", F.explode("_fps").alias("fp"))
 
@@ -117,11 +169,10 @@ class FingerprintSubstring:
         (numpy DP per pair in one Arrow batch)."""
         min_span = min_span or self.span_tokens
         cands = self.candidate_pairs(df, id_col, text_col)
-        # persist: see minhash.verified_pairs — avoid token-hash expression
-        # inlining into the join branches
+        # persist: avoid re-tokenizing each doc once per probed pair
+        tok_udf = make_token_hash_udf()
         toks = df.select(
-            F.col(id_col).alias("id"),
-            textfns.shingle_hashes(textfns.tokens(F.col(text_col))).alias("_t"),
+            F.col(id_col).alias("id"), tok_udf(F.col(text_col)).alias("_t")
         ).persist()
         joined = (
             cands.join(toks.withColumnRenamed("id", "id_1").withColumnRenamed("_t", "_t1"), "id_1")

@@ -1,15 +1,128 @@
 """Text analysis column functions for the webtext pipeline.
 
-All JVM-side (whole-stage codegen) unless noted: tokenization, shingling,
-language-ID heuristic, quality scoring, token counting, fingerprinting.
-These are the building blocks of the dedup passes and the training-data
-pipeline operators (dedup / quality filtering at 100 TB).
+Two layers:
+
+1. JVM column functions (whole-stage codegen): tokenization, language-ID,
+   quality scoring, token counting, exact fingerprints — cheap per-row
+   expressions that stay JVM-side.
+2. Vectorized numpy kernels (``*_np``) consumed by the pandas UDFs of the
+   dedup passes (MinHash / SimHash / winnowing). Spark's higher-order array
+   expressions (``transform``/``aggregate`` lambdas) are *interpreted*, not
+   codegen'd — hashing 10M tokens through ``transform(xxhash64)`` measured
+   ~60s on 32 cores, while the same work in one Arrow pass (pandas
+   ``hash_array`` siphash + numpy combines) is <2s. So every hot pass
+   hashes text Python-side, in one fused UDF per pass, and the JVM only
+   ever sees the (tiny) signature outputs.
 """
 
 from __future__ import annotations
 
+from itertools import chain
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_U13, _U51 = np.uint64(13), np.uint64(51)
+
+
+def _rot13_xor_np(acc: np.ndarray, h) -> np.ndarray:
+    """uint64 rotate-left-13 then xor — the order-sensitive hash combine
+    (numpy twin of :func:`_rotl_xor`)."""
+    return ((acc << _U13) | (acc >> _U51)) ^ h
+
+
+def flat_token_hashes_np(texts: pd.Series):
+    """Tokenize + hash one Arrow batch of text.
+
+    Returns ``(flat, lengths, isna)``: ``flat`` — uint64 siphash per token,
+    all docs concatenated; ``lengths`` — tokens per doc (0 for null/empty);
+    ``isna`` — bool mask of null texts. Tokenization is ``str.split()``
+    (whitespace), hashing is ``pd.util.hash_array`` (vectorized cython
+    siphash, deterministic fixed key) — no per-token Python objects beyond
+    the split itself."""
+    isna = texts.isna().to_numpy()
+    vals = texts.to_numpy(dtype=object)
+    tok_lists = [None if na else v.split() for v, na in zip(vals, isna)]
+    lengths = np.fromiter(
+        (0 if t is None else len(t) for t in tok_lists), dtype=np.int64,
+        count=len(tok_lists),
+    )
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), lengths, isna
+    flat_tokens = np.fromiter(
+        chain.from_iterable(t for t in tok_lists if t), dtype=object, count=total
+    )
+    flat = pd.util.hash_array(flat_tokens)
+    return flat, lengths, isna
+
+
+def gram_hashes_np(flat: np.ndarray, lengths: np.ndarray, n: int):
+    """Word-n-gram hashes per doc over the flat token-hash array.
+
+    Semantics match :func:`gram_hashes` (the JVM variant): a doc with
+    ``len > n`` emits ``len-n+1`` position-order grams (NOT deduped — call
+    :func:`distinct_per_doc_np` when set semantics are needed); a doc with
+    ``0 <= len <= n`` emits ONE hash folding all tokens from 0 (empty doc
+    -> [0]) so short docs still index. Null docs (length 0 *and* masked by
+    the caller) are the caller's business — here len==0 emits [0].
+
+    Returns ``(grams, counts)``: flat uint64 grams + per-doc gram counts.
+    """
+    ndocs = len(lengths)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    out_counts = np.where(lengths > n, lengths - n + 1, 1)
+    out = np.empty(int(out_counts.sum()), dtype=np.uint64)
+    out_ends = np.cumsum(out_counts)
+    out_starts = out_ends - out_counts
+
+    total = len(flat)
+    m = total - (n - 1)
+    if m > 0 and ndocs:
+        g = flat[:m].copy()
+        for j in range(1, n):
+            g = _rot13_xor_np(g, flat[j : j + m])
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        valid = doc_of[:m] == doc_of[n - 1 :]
+        pos = np.nonzero(valid)[0]
+        d = doc_of[pos]
+        out[out_starts[d] + (pos - starts[d])] = g[pos]
+
+    short = np.nonzero(lengths <= n)[0]
+    for d in short:
+        acc = np.uint64(0)
+        for p in range(starts[d], ends[d]):
+            acc = _rot13_xor_np(acc, flat[p])
+        out[out_starts[d]] = acc
+    return out, out_counts
+
+
+def distinct_per_doc_np(vals: np.ndarray, counts: np.ndarray):
+    """Per-doc distinct of a flat segmented array. Returns (vals, counts)
+    with each doc's segment sorted + deduped (one lexsort, no per-doc
+    loop)."""
+    ndocs = len(counts)
+    doc = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    order = np.lexsort((vals, doc))
+    sv, sd = vals[order], doc[order]
+    keep = np.ones(len(sv), dtype=bool)
+    if len(sv) > 1:
+        keep[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+    new_counts = np.bincount(sd[keep], minlength=ndocs)
+    return sv[keep], new_counts.astype(np.int64)
+
+
+def segments_to_series(vals: np.ndarray, counts: np.ndarray, isna: np.ndarray) -> pd.Series:
+    """Pack a flat segmented int64-viewable array back into a Series of
+    per-doc arrays (None where isna)."""
+    bounds = np.cumsum(counts)[:-1]
+    segs = np.split(vals.view(np.int64), bounds)
+    return pd.Series(
+        [None if na else seg for seg, na in zip(segs, isna)], dtype=object
+    )
 
 
 def tokens(col: Column) -> Column:

@@ -1,0 +1,184 @@
+"""Differential tests: the segment-vectorized numpy kernels must be
+bit-identical to naive per-doc reference loops (same contract the earlier
+JVM-expression implementations were tested against)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recordlinkage_spark import textfns
+from recordlinkage_spark.suffix import _P, winnow_fingerprints_np
+
+U13, U51 = np.uint64(13), np.uint64(51)
+
+
+def rot_xor(acc, h):
+    acc = np.uint64(acc)
+    return np.uint64(((acc << U13) | (acc >> U51)) ^ np.uint64(h))
+
+
+def naive_grams(doc_hashes, n):
+    """Per-doc reference: same semantics as textfns.gram_hashes (JVM)."""
+    h = [np.uint64(x) for x in doc_hashes]
+    if len(h) <= n:
+        acc = np.uint64(0)
+        for x in h:
+            acc = rot_xor(acc, x)
+        return [acc]
+    out = []
+    for i in range(len(h) - n + 1):
+        acc = h[i]
+        for j in range(1, n):
+            acc = rot_xor(acc, h[i + j])
+        out.append(acc)
+    return out
+
+
+def naive_winnow(doc_hashes, span, window):
+    """Per-doc reference: the original suffix.py loop kernel."""
+    h = np.asarray(doc_hashes, dtype=np.uint64)
+    n = len(h)
+    if n < span:
+        return None
+    np.seterr(over="ignore")
+    p_inv = np.uint64(pow(int(_P), -1, 2**64))
+    m = n - span + 1
+    invp = np.ones(n, dtype=np.uint64)
+    invp[1:] = p_inv
+    np.multiply.accumulate(invp, out=invp)
+    t = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(h * invp, out=t[1:])
+    pw = np.ones(m, dtype=np.uint64)
+    pw[0] = _P
+    for _ in range(span - 2):
+        pw[0] = pw[0] * _P
+    pw[1:] = _P
+    np.multiply.accumulate(pw, out=pw)
+    roll = pw * (t[span:] - t[:m])
+    if m <= window:
+        sel = np.array([roll.min()], dtype=np.uint64)
+    else:
+        sel = np.lib.stride_tricks.sliding_window_view(roll, window).min(axis=1)
+    return np.unique(sel)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+def random_docs(rng, n_docs, max_len):
+    lengths = rng.randint(0, max_len, n_docs)
+    return [rng.randint(0, 2**63, n, dtype=np.int64).view(np.uint64)
+            for n in lengths]
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_gram_hashes_np_matches_naive(rng, n):
+    docs = random_docs(rng, 200, 24)  # includes empty / short / == n docs
+    flat = np.concatenate([d for d in docs if len(d)]) if any(
+        len(d) for d in docs) else np.empty(0, np.uint64)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    vals, counts = textfns.gram_hashes_np(flat, lengths, n)
+    pos = 0
+    for d, c in zip(docs, counts):
+        expect = naive_grams(d, n)
+        got = vals[pos:pos + c]
+        assert list(got) == [np.uint64(x) for x in expect]
+        pos += c
+    assert pos == len(vals)
+
+
+@pytest.mark.parametrize("span,window", [(4, 3), (8, 5), (16, 9)])
+def test_winnow_np_matches_naive(rng, span, window):
+    docs = random_docs(rng, 150, 40)
+    flat = np.concatenate([d for d in docs if len(d)]) if any(
+        len(d) for d in docs) else np.empty(0, np.uint64)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    vals, counts = winnow_fingerprints_np(flat, lengths, span, window)
+    pos = 0
+    for d, c in zip(docs, counts):
+        expect = naive_winnow(d, span, window)
+        got = vals[pos:pos + c]
+        if expect is None:
+            assert c == 0
+        else:
+            assert np.array_equal(np.sort(got), np.sort(expect))
+        pos += c
+    assert pos == len(vals)
+
+
+def test_distinct_per_doc_np(rng):
+    docs = [rng.randint(0, 8, rng.randint(0, 12)).astype(np.uint64)
+            for _ in range(100)]
+    flat = np.concatenate(docs) if docs else np.empty(0, np.uint64)
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    vals, new_counts = textfns.distinct_per_doc_np(flat, counts)
+    pos = 0
+    for d, c in zip(docs, new_counts):
+        assert np.array_equal(vals[pos:pos + c], np.unique(d))
+        pos += c
+
+
+def test_flat_token_hashes_null_and_empty():
+    s = pd.Series(["a b c", None, "", "  ", "a a"])
+    flat, lengths, isna = textfns.flat_token_hashes_np(s)
+    assert list(lengths) == [3, 0, 0, 0, 2]
+    assert list(isna) == [False, True, False, False, False]
+    assert len(flat) == 5
+    # same token -> same hash; deterministic across calls
+    assert flat[3] == flat[4] == flat[0]
+    flat2, _, _ = textfns.flat_token_hashes_np(s)
+    assert np.array_equal(flat, flat2)
+
+
+def test_segment_pairs_np_matches_combinations(rng):
+    from itertools import combinations
+
+    from recordlinkage_spark.minhash import segment_pairs_np
+
+    sizes = rng.randint(0, 9, 60)
+    ids = rng.randint(0, 10**9, int(sizes.sum())).astype(np.int64)
+    a, b = segment_pairs_np(ids, sizes)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    expect = []
+    pos = 0
+    for m in sizes:
+        seg = ids[pos:pos + m]
+        for x, y in combinations(seg.tolist(), 2):
+            expect.append((max(x, y), min(x, y)))
+        pos += m
+    assert got == sorted(expect)
+
+
+def test_segment_pairs_np_string_ids():
+    from recordlinkage_spark.minhash import segment_pairs_np
+
+    ids = np.array(["b", "a", "c", "x", "y"], dtype=object)
+    a, b = segment_pairs_np(ids, np.array([3, 2]))
+    assert sorted(zip(a, b)) == [("b", "a"), ("c", "a"), ("c", "b"), ("y", "x")]
+
+
+def test_bucket_pair_expander_carry_and_cap():
+    """Carry-over across batch boundaries + oversize-bucket drop."""
+    from recordlinkage_spark.minhash import _make_bucket_pair_expander
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["id", "band_id", "band_hash"])
+
+    # bucket (0, 7) spans two batches; bucket (1, 9) is oversize (cap=3)
+    batches = [
+        batch([(1, 0, 7), (2, 0, 7)]),
+        batch([(3, 0, 7), (10, 1, 9), (11, 1, 9)]),
+        batch([(12, 1, 9), (13, 1, 9), (20, 2, 5), (21, 2, 5)]),
+    ]
+    out = pd.concat(list(_make_bucket_pair_expander(3)(iter(batches))))
+    got = sorted(zip(out["id_1"], out["id_2"]))
+    assert got == [(2, 1), (3, 1), (3, 2), (21, 20)]
+
+
+def test_gram_hashes_empty_doc_emits_zero():
+    vals, counts = textfns.gram_hashes_np(
+        np.empty(0, np.uint64), np.array([0], dtype=np.int64), 3
+    )
+    assert list(counts) == [1] and vals[0] == np.uint64(0)
