@@ -103,6 +103,53 @@ def q_compare_string_levenshtein(spark, sf):
     return out.select("id_1", "id_2", _r6(F.col("name_sim")).alias("name_sim"), "name_thr")
 
 
+def q_compare_string_jaro(spark, sf):
+    """Jaro + Jaro-Winkler (pandas-UDF kernels) — oracle: DuckDB's built-in
+    jaro_similarity / jaro_winkler_similarity (verified value-identical)."""
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    out = (
+        Compare()
+        .string("c_name", "c_name", "jaro", label="name_jaro")
+        .string("c_name", "c_name", "jarowinkler", label="name_jw")
+        .string("c_name", "c_name", "jarowinkler", threshold=0.9, label="name_jw_thr")
+        .compute(pairs, cust, id_col="c_custkey")
+    )
+    return out.select(
+        "id_1", "id_2",
+        _r6(F.col("name_jaro")).alias("name_jaro"),
+        _r6(F.col("name_jw")).alias("name_jw"),
+        "name_jw_thr",
+    )
+
+
+def q_compare_string_damerau(spark, sf):
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    out = Compare().string(
+        "c_name", "c_name", "damerau_levenshtein", label="name_dl"
+    ).compute(pairs, cust, id_col="c_custkey")
+    return out.select("id_1", "id_2", _r6(F.col("name_dl")).alias("name_dl"))
+
+
+def q_phonetic_codes(spark, sf):
+    """soundex / nysiis / metaphone codes (recordlinkage/preprocessing/
+    encoding.py:39-93). No DuckDB phonetic functions -> rows-only check;
+    golden values pytest-gated (tests/test_preprocessing.py)."""
+    from recordlinkage_spark.preprocessing import phonetic
+
+    cust = _t(spark, sf, "customer")
+    name = F.regexp_replace("c_name", "[^A-Za-z ]", " ")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        phonetic(name, "soundex").alias("sdx"),
+        phonetic(name, "nysiis").alias("nys"),
+        phonetic(name, "metaphone").alias("mp"),
+    )
+
+
 def q_compare_date_orders(spark, sf):
     from recordlinkage_spark.comparing import Compare
     from recordlinkage_spark.indexing import Block
@@ -428,6 +475,72 @@ def q_ecm_params(spark, sf):
     )
 
 
+def q_kmeans_classify(spark, sf):
+    """2-cluster KMeans with the reference's fixed 0.05/0.95 init
+    (classifiers.py:251-260) — deterministic Lloyd loop, not
+    SQL-expressible -> rows-only; determinism pytest-gated."""
+    from recordlinkage_spark.classifiers import KMeansClassifier
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    feats = (
+        Compare()
+        .exact("c_mktsegment", "c_mktsegment", label="f1")
+        .numeric("c_acctbal", "c_acctbal", "step", offset=500.0, label="f2")
+        .compute(pairs, cust, id_col="c_custkey")
+    )
+    out = KMeansClassifier().fit_predict(feats)
+    return out.select("id_1", "id_2", "label")
+
+
+def q_nb_classify(spark, sf):
+    """Supervised Bernoulli NB over label-binarized features
+    (nb_sklearn.py:268-430). Truth = same-mktsegment pairs. EM-free but
+    the binarized JLL scoring is driver-fit -> rows-only."""
+    from recordlinkage_spark.classifiers import NaiveBayesClassifier
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    feats = (
+        Compare()
+        .exact("c_mktsegment", "c_mktsegment", label="f1")
+        .numeric("c_acctbal", "c_acctbal", "step", offset=1000.0, label="f2")
+        .compute(pairs, cust, id_col="c_custkey")
+    )
+    side = cust.select("c_custkey", "c_mktsegment")
+    truth = (
+        pairs.join(side.withColumnRenamed("c_custkey", "id_1")
+                   .withColumnRenamed("c_mktsegment", "s1"), "id_1")
+        .join(side.withColumnRenamed("c_custkey", "id_2")
+              .withColumnRenamed("c_mktsegment", "s2"), "id_2")
+        .filter(F.col("s1") == F.col("s2")).select("id_1", "id_2")
+    )
+    clf = NaiveBayesClassifier()
+    clf.fit(feats, truth)
+    out = clf.predict(feats)
+    return out.select("id_1", "id_2", "label")
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload column -> deterministic
+    fake-decode feature vector via mapInPandas (the real decoder is
+    stubbed; schema/partitioning/batching are the real thing).
+    rows-only: the fake decode is numpy-side."""
+    from recordlinkage_spark.multimodal import extract_features, with_media_meta
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = extract_features(with_media_meta(media).drop("n_bytes", "payload_md5"))
+    return out.select(
+        "doc_id", "kind", "width", "height",
+        F.transform("feature", lambda x: F.round(x, 4)).alias("feature"),
+    )
+
+
 def q_eval_measures(spark, sf):
     from recordlinkage_spark import measures
 
@@ -488,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare
         "compare_exact_numeric": q_compare_exact_numeric,
         "compare_string_levenshtein": q_compare_string_levenshtein,
+        "compare_string_jaro": q_compare_string_jaro,
+        "compare_string_damerau": q_compare_string_damerau,
         "compare_date_orders": q_compare_date_orders,
         "compare_frequency": q_compare_frequency,
         "compare_geo_supplier": q_compare_geo_supplier,
@@ -495,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_customer_text": q_clean_customer_text,
         "phonenumbers_customer": q_phonenumbers_customer,
         "value_occurence_customer": q_value_occurence_customer,
+        "phonetic_codes": q_phonetic_codes,
         # dedup / text analysis
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
@@ -516,7 +632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classify + measures
         "logreg_manual": q_logreg_manual,
         "ecm_params": q_ecm_params,
+        "kmeans_classify": q_kmeans_classify,
+        "nb_classify": q_nb_classify,
         "eval_measures": q_eval_measures,
+        # multimodal plumbing
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -602,6 +722,20 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN 1.0 - levenshtein(name1, name2)::DOUBLE
                         / greatest(length(name1), length(name2)) >= 0.8
                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS name_thr
+            FROM ({_CUSTOMER_PAIRS_SQL})
+        """,
+        "compare_string_jaro": f"""
+            SELECT id_1, id_2,
+              round(jaro_similarity(name1, name2), 6) AS name_jaro,
+              round(jaro_winkler_similarity(name1, name2), 6) AS name_jw,
+              CASE WHEN jaro_winkler_similarity(name1, name2) >= 0.9
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS name_jw_thr
+            FROM ({_CUSTOMER_PAIRS_SQL})
+        """,
+        "compare_string_damerau": f"""
+            SELECT id_1, id_2,
+              round(1.0 - damerau_levenshtein(name1, name2)::DOUBLE
+                    / greatest(length(name1), length(name2)), 6) AS name_dl
             FROM ({_CUSTOMER_PAIRS_SQL})
         """,
         "compare_date_orders": """
