@@ -92,12 +92,22 @@ class ConnectedComponents:
     Iceberg/parquet checkpoint (pipeline.py does).
     """
 
-    def __init__(self, max_iter: int = 50):
+    def __init__(self, max_iter: int = 50, driver_threshold: int = 5_000_000):
         self.max_iter = max_iter
+        # Graphs at or below this edge count are solved on the driver with a
+        # vectorized numpy min-label propagation instead of the Spark loop:
+        # each loop iteration costs 3-4 scheduled jobs (join, agg, checkpoint,
+        # convergence count) of pure fixed overhead when the edge list is
+        # tiny, while 5M edges collect to ~80 MB and solve in <1s. At
+        # 10^12-doc scale the edge list is far larger and the distributed
+        # loop runs. Set to 0 to force the loop.
+        self.driver_threshold = driver_threshold
 
     def compute(self, pairs: DataFrame, checkpoint=None) -> DataFrame:
         """pairs(id_1,id_2) -> (id, cluster_id). Singletons not in any pair
         are not emitted (join the records table to give them their own id)."""
+        if self.driver_threshold and pairs.count() <= self.driver_threshold:
+            return self._compute_driver(pairs)
         checkpoint = checkpoint or (lambda df: df.localCheckpoint())
         # symmetric edge list (both directions) — label flows both ways
         edges = pairs.select(
@@ -138,3 +148,42 @@ class ConnectedComponents:
         # one more closure pass: propagate label -> label (pointer jumping)
         # ensures transitive min even on long paths within max_iter budget
         return labels
+
+    def _compute_driver(self, pairs: DataFrame) -> DataFrame:
+        """Driver-side solve for small graphs: vectorized min-label
+        propagation with pointer jumping (same algorithm as the loop,
+        collapsed to numpy scatter-mins). Bit-equivalent output:
+        (id, cluster_id = min id in component)."""
+        import numpy as np
+        import pandas as pd
+
+        spark = pairs.sparkSession
+        pdf = pairs.select("id_1", "id_2").toPandas()
+        id_field = pairs.schema["id_1"].dataType
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], schema=f"id {id_field.simpleString()}, cluster_id {id_field.simpleString()}"
+            )
+        # rank-encode ids so "min label" == "min original id"
+        uniq = np.unique(
+            np.concatenate([pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()])
+        )
+        s = np.searchsorted(uniq, pdf["id_1"].to_numpy())
+        d = np.searchsorted(uniq, pdf["id_2"].to_numpy())
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        lab = np.arange(len(uniq), dtype=np.int64)
+        for _ in range(self.max_iter):
+            new = lab.copy()
+            np.minimum.at(new, src, lab[dst])   # min over neighbor labels
+            new = np.minimum(new, new[new])     # pointer jump
+            while True:                         # full path compression
+                nn = new[new]
+                if (nn == new).all():
+                    break
+                new = nn
+            if (new == lab).all():
+                break
+            lab = new
+        out = pd.DataFrame({"id": uniq, "cluster_id": uniq[lab]})
+        return spark.createDataFrame(out)

@@ -63,3 +63,28 @@ def test_connected_components_chain(spark):
     comp = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_connected_components_driver_vs_loop_equivalence(spark):
+    """The driver fast path and the distributed loop must give identical
+    cluster assignments on a random graph (and on string ids)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    fast = ConnectedComponents().compute(pairs)
+    loop = ConnectedComponents(driver_threshold=0).compute(pairs)
+    assert {(r["id"], r["cluster_id"]) for r in fast.collect()} == {
+        (r["id"], r["cluster_id"]) for r in loop.collect()
+    }
+
+    spairs = spark.createDataFrame(
+        [(f"u{a:03d}", f"u{b:03d}") for a, b in edges], "id_1 string, id_2 string"
+    )
+    sfast = ConnectedComponents().compute(spairs)
+    sloop = ConnectedComponents(driver_threshold=0).compute(spairs)
+    assert {(r["id"], r["cluster_id"]) for r in sfast.collect()} == {
+        (r["id"], r["cluster_id"]) for r in sloop.collect()
+    }
