@@ -281,6 +281,109 @@ def webtext_corpus_distributed(
     return corpus, truth
 
 
+GIVEN_NAMES = (
+    "james mary john linda robert susan michael karen david nancy william "
+    "lisa richard betty joseph helen thomas sandra charles donna anna peter"
+).split()
+SURNAMES = (
+    "smith johnson williams brown jones garcia miller davis wilson moore "
+    "taylor anderson thomas jackson white harris martin thompson young king"
+).split()
+SUBURBS = (
+    "richmond brunswick carlton fitzroy prahran toorak kew hawthorn balwyn "
+    "essendon preston coburg northcote thornbury reservoir fairfield"
+).split()
+STATES = ["vic", "nsw", "qld", "wa", "sa", "tas"]
+
+
+def _corrupt_string(rng: np.random.RandomState, s: str) -> str:
+    """One FEBRL-style typographic corruption: substitute / delete /
+    insert / transpose a character (datasets/febrl.py docstrings describe
+    the same error model)."""
+    if not s:
+        return s
+    op = rng.randint(0, 4)
+    pos = int(rng.randint(0, len(s)))
+    ch = chr(ord("a") + rng.randint(0, 26))
+    if op == 0:
+        return s[:pos] + ch + s[pos + 1:]
+    if op == 1 and len(s) > 2:
+        return s[:pos] + s[pos + 1:]
+    if op == 2:
+        return s[:pos] + ch + s[pos:]
+    if pos < len(s) - 1:
+        return s[:pos] + s[pos + 1] + s[pos] + s[pos + 2:]
+    return s
+
+
+def person_corpus_pandas(
+    n_originals: int = 1000,
+    max_dups_per_rec: int = 3,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """FEBRL-shaped person records with planted duplicates (FIXTURES.md F3;
+    mirrors the roles of the bundled febrl1-4 datasets,
+    recordlinkage/datasets/febrl.py:52-231).
+
+    rec_id follows the FEBRL convention ``rec-<n>-org`` /
+    ``rec-<n>-dup-<k>`` so truth links derive from the id alone
+    (febrl.py:30-49); duplicates carry 1-3 typographic corruptions across
+    random fields."""
+    rng = np.random.RandomState(seed)
+    rows: list[dict] = []
+    for i in range(n_originals):
+        rec = {
+            "rec_id": f"rec-{i}-org",
+            "given_name": GIVEN_NAMES[rng.randint(0, len(GIVEN_NAMES))],
+            "surname": SURNAMES[rng.randint(0, len(SURNAMES))],
+            "street_number": str(rng.randint(1, 400)),
+            "address_1": f"{SURNAMES[rng.randint(0, len(SURNAMES))]} street",
+            "suburb": SUBURBS[rng.randint(0, len(SUBURBS))],
+            "postcode": f"{rng.randint(2000, 8000):04d}",
+            "state": STATES[rng.randint(0, len(STATES))],
+            "date_of_birth": f"{rng.randint(1940, 2005):04d}{rng.randint(1, 13):02d}{rng.randint(1, 29):02d}",
+            "soc_sec_id": f"{rng.randint(10**6, 10**7 - 1)}",
+        }
+        rows.append(rec)
+        for k in range(int(rng.randint(0, max_dups_per_rec + 1))):
+            dup = dict(rec)
+            dup["rec_id"] = f"rec-{i}-dup-{k}"
+            n_err = 1 + int(rng.randint(0, 3))
+            fields = rng.choice(
+                ["given_name", "surname", "address_1", "suburb", "postcode",
+                 "date_of_birth"],
+                size=n_err, replace=False,
+            )
+            for f_ in fields:
+                dup[f_] = _corrupt_string(rng, dup[f_])
+            rows.append(dup)
+    return pd.DataFrame(rows)
+
+
+def person_corpus(spark: SparkSession, n_originals: int = 1000,
+                  max_dups_per_rec: int = 3, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(person_corpus_pandas(n_originals, max_dups_per_rec, seed))
+
+
+def person_truth_links(df: DataFrame, id_col: str = "rec_id") -> DataFrame:
+    """True duplicate pairs from FEBRL rec ids: regex-extract the record
+    number, self-join on it, keep the lower triangle — the exact derivation
+    of recordlinkage/datasets/febrl.py:30-49 as DataFrame ops."""
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        F.col(id_col),
+        F.regexp_extract(F.col(id_col), r"rec-(\d+)", 1).cast("long").alias("_rec_n"),
+    )
+    a = keyed.select(F.col(id_col).alias("id_1"), "_rec_n")
+    b = keyed.select(F.col(id_col).alias("id_2"), "_rec_n")
+    return (
+        a.join(b, "_rec_n")
+        .filter(F.col("id_1") > F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+
+
 def binary_vectors(
     spark: SparkSession,
     n: int = 10000,

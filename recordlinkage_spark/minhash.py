@@ -41,6 +41,9 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_CHUNK_HASHES = 24576  # ~192 KB of u64 — stays L2-resident across all perms
+
+
 def _bands_from_segments(
     flat: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray,
     num_perm: int, bands: int, rows: int,
@@ -48,17 +51,36 @@ def _bands_from_segments(
     """MinHash signatures + band combine over a flat segmented uint64 hash
     array. Returns (bands, n_docs) int64 band hashes.
 
-    One permutation at a time with CONTIGUOUS scalar multiply+add — numpy's
-    stride-0 broadcast integer multiply is ~40x slower than the contiguous
-    path, so the obvious (k, N) outer product is the wrong shape. The
-    temporary stays at N u64 (~8 MB per million hashes)."""
+    Two shape rules, both measured on this workload:
+    - One permutation at a time with CONTIGUOUS scalar multiply+add —
+      numpy's stride-0 broadcast integer multiply is ~40x slower.
+    - CACHE-BLOCKED over doc-aligned chunks: the naive layout streams the
+      whole flat array from DRAM 3x per permutation (~3 KB of memory
+      traffic per 8-byte hash at k=128), which saturates this host's
+      memory bandwidth at ~8 concurrent workers and inverts scaling
+      (local[32] measured 4x SLOWER than local[8]). Chunking to ~192 KB
+      keeps the hashes L2-resident across all k permutations, so DRAM
+      sees each hash once."""
     n_docs = len(offsets)
     sig = np.empty((num_perm, n_docs), dtype=np.uint64)
-    tmp = np.empty(len(flat), dtype=np.uint64)
-    for i in range(num_perm):
-        np.multiply(flat, a[i], out=tmp)
-        tmp += b[i]
-        sig[i] = np.minimum.reduceat(tmp, offsets)
+    if n_docs == 0:
+        return np.zeros((bands, 0), dtype=np.int64)
+    ends = np.append(offsets[1:], len(flat)).astype(np.int64)
+    tmp = np.empty(min(_CHUNK_HASHES, len(flat)) + 1, dtype=np.uint64)
+    d0 = 0
+    while d0 < n_docs:
+        start = offsets[d0]
+        # widest doc range whose hashes fit in the chunk (>=1 doc always)
+        d1 = int(np.searchsorted(ends, start + _CHUNK_HASHES, side="right"))
+        d1 = max(d1, d0 + 1)
+        seg = flat[start:ends[d1 - 1]]
+        offs = (offsets[d0:d1] - start).astype(np.int64)
+        t = tmp[: len(seg)] if len(seg) <= len(tmp) else np.empty(len(seg), np.uint64)
+        for i in range(num_perm):
+            np.multiply(seg, a[i], out=t)
+            t += b[i]
+            sig[i, d0:d1] = np.minimum.reduceat(t, offs)
+        d0 = d1
     # combine r rows per band with a mixed polynomial hash
     band = sig.reshape(bands, rows, -1)
     acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)

@@ -26,8 +26,6 @@ def make_simhash_udf():
 
     def batch(hashes: pd.Series) -> pd.Series:
         np.seterr(over="ignore")
-        shifts = np.arange(64, dtype=np.uint64)
-        powers = (np.uint64(1) << shifts).view(np.int64)  # bit weights
         lengths = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
         valid = lengths > 0
         if not valid.any():
@@ -35,16 +33,7 @@ def make_simhash_udf():
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h, v in zip(hashes, valid) if v]
         ).view(np.uint64)
-        offsets = np.zeros(int(valid.sum()), dtype=np.int64)
-        np.cumsum(lengths[valid][:-1], out=offsets[1:])
-        # unpackbits on the little-endian byte view: vectorized (N, 64) bit
-        # matrix without the slow stride-0 broadcast shift
-        bits = np.unpackbits(
-            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int64)
-        votes = np.add.reduceat(bits, offsets, axis=0)          # (n_valid, 64)
-        majority = votes * 2 > lengths[valid][:, None]          # bit set iff >half
-        sigs = (majority * powers[None, :]).sum(axis=1)         # int64 wraps = packing
+        sigs = _simhash_from_segments(flat, lengths[valid])
         out = np.zeros(len(hashes), dtype=np.int64)
         out[valid] = sigs
         # nullable Int64: assigning None to a plain int64 Series would
@@ -57,24 +46,47 @@ def make_simhash_udf():
     return F.pandas_udf(batch, LongType()).asNondeterministic()
 
 
+_CHUNK_HASHES = 16384  # doc-aligned cache block (bits matrix ~1 MB int8)
+
+
 def _simhash_from_segments(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """SimHash per doc segment of a flat uint64 hash array -> int64 array.
-    Docs with count 0 get signature 0."""
-    offsets = np.zeros(len(counts), dtype=np.int64)
+    Docs with count 0 get signature 0.
+
+    unpackbits expands every hash to 64 bytes — cache-blocked over
+    doc-aligned chunks so the (N, 64) bit matrix never leaves L2/L3 (the
+    unblocked version's DRAM traffic saturated this host's memory
+    bandwidth under 32 concurrent workers; see minhash._bands_from_segments)."""
+    ndocs = len(counts)
+    offsets = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    shifts = np.arange(64, dtype=np.uint64)
-    powers = (np.uint64(1) << shifts).view(np.int64)
-    # unpackbits on the little-endian byte view: vectorized (N, 64) bit
-    # matrix without the slow stride-0 broadcast shift
-    bits = np.unpackbits(
-        flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    ).astype(np.int64)
-    votes = np.add.reduceat(bits, offsets, axis=0) if len(flat) else np.zeros(
-        (len(counts), 64), dtype=np.int64
-    )
+    votes = np.zeros((ndocs, 64), dtype=np.int64)
+    if len(flat):
+        ends = np.append(offsets[1:], len(flat))
+        d0 = 0
+        while d0 < ndocs:
+            start = offsets[d0]
+            d1 = int(np.searchsorted(ends, start + _CHUNK_HASHES, side="right"))
+            d1 = max(d1, d0 + 1)
+            seg = flat[start:ends[d1 - 1]]
+            if len(seg):
+                bits = np.unpackbits(
+                    seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                # reduceat over NONZERO-count docs only: a count-0 doc's
+                # offset equals its neighbor's and would corrupt the
+                # neighboring segment (or index past the end at the tail)
+                rel = np.arange(d0, d1)
+                nz = rel[counts[d0:d1] > 0]
+                offs = (offsets[nz] - start).astype(np.int64)
+                v = np.add.reduceat(bits.astype(np.int32), offs, axis=0)
+                votes[nz] = v
+            d0 = d1
     # reduceat quirk: an empty segment (offsets[i] == offsets[i+1]) returns
     # the element AT the offset instead of zero — mask those out
     votes[counts == 0] = 0
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).view(np.int64)
     majority = votes * 2 > counts[:, None]
     return (majority * powers[None, :]).sum(axis=1)
 

@@ -182,3 +182,88 @@ def test_gram_hashes_empty_doc_emits_zero():
         np.empty(0, np.uint64), np.array([0], dtype=np.int64), 3
     )
     assert list(counts) == [1] and vals[0] == np.uint64(0)
+
+
+def test_bands_from_segments_chunking_invariant(rng):
+    """Cache-blocked minhash must be bit-identical to the single-pass
+    reference regardless of chunk boundaries."""
+    from recordlinkage_spark import minhash as mh
+
+    a, b = mh._perm_params(32, 42)
+    sizes = rng.randint(1, 50, 300).astype(np.int64)
+    flat = rng.randint(0, 2**63, int(sizes.sum())).astype(np.int64).view(np.uint64)
+    offsets = np.cumsum(sizes) - sizes
+    np.seterr(over="ignore")
+    # naive reference: one pass over the whole array per permutation
+    sig = np.empty((32, len(sizes)), dtype=np.uint64)
+    for i in range(32):
+        sig[i] = np.minimum.reduceat(flat * a[i] + b[i], offsets)
+    band = sig.reshape(8, 4, -1)
+    acc = np.zeros((8, band.shape[2]), dtype=np.uint64)
+    for r_i in range(4):
+        acc = acc * mh._MIX + band[:, r_i, :]
+        acc ^= acc >> np.uint64(33)
+    expect = acc.view(np.int64)
+
+    old_chunk = mh._CHUNK_HASHES
+    try:
+        for chunk in (7, 64, 10**9):  # absurdly small, small, one-chunk
+            mh._CHUNK_HASHES = chunk
+            got = mh._bands_from_segments(flat, offsets, a, b, 32, 8, 4)
+            assert np.array_equal(got, expect), f"chunk={chunk}"
+    finally:
+        mh._CHUNK_HASHES = old_chunk
+
+
+def test_simhash_from_segments_chunking_invariant(rng):
+    from recordlinkage_spark import simhash as sh
+
+    counts = rng.randint(0, 40, 200).astype(np.int64)
+    flat = rng.randint(0, 2**63, int(counts.sum())).astype(np.int64).view(np.uint64)
+    np.seterr(over="ignore")
+    # naive reference
+    offsets = np.cumsum(counts) - counts
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int64)
+    votes = np.add.reduceat(bits, offsets, axis=0) if len(flat) else np.zeros(
+        (len(counts), 64), dtype=np.int64)
+    votes[counts == 0] = 0
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).view(np.int64)
+    expect = ((votes * 2 > counts[:, None]) * powers[None, :]).sum(axis=1)
+
+    old_chunk = sh._CHUNK_HASHES
+    try:
+        for chunk in (5, 100, 10**9):
+            sh._CHUNK_HASHES = chunk
+            got = sh._simhash_from_segments(flat, counts)
+            assert np.array_equal(got, expect), f"chunk={chunk}"
+    finally:
+        sh._CHUNK_HASHES = old_chunk
+
+
+def test_simhash_zero_count_layouts():
+    """count-0 docs must not corrupt neighboring segments (regression:
+    the chunk-tail clip truncated the previous doc's vote segment)."""
+    from recordlinkage_spark import simhash as sh
+
+    rng = np.random.RandomState(1)
+    for counts in ([3, 0, 0], [0, 0, 3], [2, 0, 3, 0, 1], [0], [5]):
+        counts = np.array(counts, dtype=np.int64)
+        flat = rng.randint(0, 2**63, int(counts.sum())).astype(np.int64).view(np.uint64)
+        bits = (np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
+                              bitorder="little").astype(np.int64)
+                if len(flat) else np.zeros((0, 64), np.int64))
+        votes = np.zeros((len(counts), 64), dtype=np.int64)
+        pos = 0
+        for i, c in enumerate(counts):
+            votes[i] = bits[pos:pos + c].sum(axis=0)
+            pos += c
+        powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).view(np.int64)
+        expect = (((votes * 2) > counts[:, None]) * powers[None, :]).sum(axis=1)
+        old = sh._CHUNK_HASHES
+        try:
+            for chunk in (1, 2, 10**9):
+                sh._CHUNK_HASHES = chunk
+                assert np.array_equal(sh._simhash_from_segments(flat, counts), expect)
+        finally:
+            sh._CHUNK_HASHES = old
