@@ -206,6 +206,139 @@ class SortedNeighbourhood(BaseIndexAlgorithm):
         )
 
 
+class NeighbourhoodBlock(BaseIndexAlgorithm):
+    """Generalized blocking: per-field rank windows + null wildcards +
+    a mismatch budget.
+
+    Reference: recordlinkage/contrib/index/neighbourhoodblock/
+    neighbourhoodblock.py:8-248. Accept rule (:218-225): with per-field
+    dense ranks over the union of both frames (nulls keep NaN rank =
+    wildcard, :124-139), a pair is kept iff
+
+        n_fields(|rank_l - rank_r| <= window//2)
+          + min(n_fields(null on either side), max_nulls)
+        >= n_keys - max_non_matches
+
+    Special cases (documented at :45-52): Block = defaults;
+    SortedNeighbourhood = windows=[w,1,..]; Full = max_non_matches >= keys.
+
+    Spark design (the reference's recursive block-coarsening is a
+    single-node pruning trick — SURVEY.md §4): candidate generation is the
+    UNION over fields of SNI-style rank-window equi-joins (explode offsets
+    -w2..w2, join on rank+offset), i.e. every pair that MATCHES at least
+    one field; a verification join against both rank vectors then applies
+    the exact accept rule. Whenever max_nulls + max_non_matches >= n_keys
+    a pair can qualify with zero real field matches, so generation falls
+    back to the full product (same asymptotics the reference hits in that
+    degenerate regime).
+    """
+
+    def __init__(self, left_on, right_on=None, max_nulls: int = 0,
+                 max_non_matches: int = 0, windows=1):
+        self.left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+        right_on = right_on if right_on is not None else self.left_on
+        self.right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        if len(self.left_on) != len(self.right_on) or not self.left_on:
+            raise IndexError("Invalid blocking keys")
+        self.max_nulls = int(max_nulls)
+        self.max_non_matches = int(max_non_matches)
+        windows = [windows] if isinstance(windows, int) else list(windows)
+        n = len(self.left_on)
+        windows = windows + windows[-1:] * (n - len(windows))
+        if len(windows) > n or not all(
+            isinstance(w, int) and w > 0 and w % 2 == 1 for w in windows
+        ):
+            raise ValueError(
+                "Windows must be positive odd integers and the maximum "
+                "number allowed is the number of blocking keys"
+            )
+        self.windows = windows
+
+    def _link_index(self, df_a: DataFrame, df_b: DataFrame, id_col: str) -> DataFrame:
+        n = len(self.left_on)
+        # build both rank vectors, one shared rank table per field
+        l_parts, r_parts = [], []
+        for i, (ka, kb) in enumerate(zip(self.left_on, self.right_on)):
+            vals = (
+                df_a.select(F.col(ka).alias("_v"))
+                .union(df_b.select(F.col(kb).alias("_v")))
+                .filter(F.col("_v").isNotNull())
+                .distinct()
+                .withColumn(f"_rk_{i}", F.dense_rank().over(Window.orderBy("_v")))
+            )
+            l_parts.append(
+                df_a.select(F.col(id_col).alias("id_1"), F.col(ka).alias("_v"))
+                .join(vals, "_v", "left").drop("_v")
+            )
+            r_parts.append(
+                df_b.select(F.col(id_col).alias("id_2"), F.col(kb).alias("_v"))
+                .join(vals, "_v", "left").drop("_v")
+            )
+        ranks_l = l_parts[0]
+        for p in l_parts[1:]:
+            ranks_l = ranks_l.join(p, "id_1")
+        ranks_r = r_parts[0]
+        for p in r_parts[1:]:
+            ranks_r = ranks_r.join(p, "id_2")
+        ranks_l, ranks_r = ranks_l.persist(), ranks_r.persist()
+
+        if self.max_nulls + self.max_non_matches >= n:
+            cands = ranks_l.select("id_1").crossJoin(ranks_r.select("id_2"))
+        else:
+            per_field = []
+            for i, w in enumerate(self.windows):
+                w2 = (w - 1) // 2
+                lf = ranks_l.select("id_1", F.col(f"_rk_{i}").alias("_rk")).filter(
+                    F.col("_rk").isNotNull()
+                )
+                if w2:
+                    lf = lf.withColumn(
+                        "_off", F.explode(F.sequence(F.lit(-w2), F.lit(w2)))
+                    ).withColumn("_rk", F.col("_rk") + F.col("_off")).drop("_off")
+                rf = ranks_r.select("id_2", F.col(f"_rk_{i}").alias("_rk")).filter(
+                    F.col("_rk").isNotNull()
+                )
+                per_field.append(lf.join(rf, "_rk").select("id_1", "id_2"))
+            cands = per_field[0]
+            for p in per_field[1:]:
+                cands = cands.unionByName(p)
+            cands = cands.dropDuplicates(["id_1", "id_2"])
+
+        j = cands.join(ranks_l, "id_1").join(
+            ranks_r.select(
+                "id_2", *[F.col(f"_rk_{i}").alias(f"_rk2_{i}") for i in range(n)]
+            ),
+            "id_2",
+        )
+        null_k = [
+            (F.col(f"_rk_{i}").isNull() | F.col(f"_rk2_{i}").isNull()).cast("int")
+            for i in range(n)
+        ]
+        match_k = [
+            (
+                F.abs(F.col(f"_rk_{i}") - F.col(f"_rk2_{i}"))
+                <= F.lit((self.windows[i] - 1) // 2)
+            ).cast("int")
+            for i in range(n)
+        ]
+        nulls = sum(null_k[1:], null_k[0])
+        matches = sum(
+            [F.coalesce(m, F.lit(0)) for m in match_k[1:]],
+            F.coalesce(match_k[0], F.lit(0)),
+        )
+        accept = (
+            matches + F.least(nulls, F.lit(self.max_nulls))
+            >= F.lit(n - self.max_non_matches)
+        )
+        return j.filter(accept).select("id_1", "id_2")
+
+    def _dedup_index(self, df_a: DataFrame, id_col: str) -> DataFrame:
+        pairs = self._link_index(df_a, df_a, id_col)
+        return pairs.filter(F.col("id_1") > F.col("id_2")).dropDuplicates(
+            ["id_1", "id_2"]
+        )
+
+
 def _tri_inverse(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Closed-form inverse of the strict-lower-triangle enumeration.
 

