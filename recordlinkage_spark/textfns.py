@@ -33,30 +33,133 @@ def _rot13_xor_np(acc: np.ndarray, h) -> np.ndarray:
     return ((acc << _U13) | (acc >> _U51)) ^ h
 
 
-def flat_token_hashes_np(texts: pd.Series):
-    """Tokenize + hash one Arrow batch of text.
+_TOK_P = np.uint64(0x100000001B3)  # FNV prime (odd -> invertible mod 2^64)
+_TOK_CHUNK = 65536                 # byte-level cache block
+_WS_TABLE = np.zeros(256, dtype=bool)
+_WS_TABLE[[9, 10, 11, 12, 13, 32]] = True  # ASCII whitespace
 
-    Returns ``(flat, lengths, isna)``: ``flat`` — uint64 siphash per token,
-    all docs concatenated; ``lengths`` — tokens per doc (0 for null/empty);
-    ``isna`` — bool mask of null texts. Tokenization is ``str.split()``
-    (whitespace), hashing is ``pd.util.hash_array`` (vectorized cython
-    siphash, deterministic fixed key) — no per-token Python objects beyond
-    the split itself."""
-    isna = texts.isna().to_numpy()
-    vals = texts.to_numpy(dtype=object)
-    tok_lists = [None if na else v.split() for v, na in zip(vals, isna)]
-    lengths = np.fromiter(
-        (0 if t is None else len(t) for t in tok_lists), dtype=np.int64,
-        count=len(tok_lists),
-    )
-    total = int(lengths.sum())
-    if total == 0:
-        return np.empty(0, np.uint64), lengths, isna
-    flat_tokens = np.fromiter(
-        chain.from_iterable(t for t in tok_lists if t), dtype=object, count=total
-    )
-    flat = pd.util.hash_array(flat_tokens)
-    return flat, lengths, isna
+# P^k and P^-k tables up to one chunk (+1); tokens longer than a chunk are
+# impossible because chunks are cut at token boundaries and a single token
+# larger than _TOK_CHUNK falls back to a dedicated chunk of its own length.
+_tok_pw_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tok_tables(n: int):
+    got = _tok_pw_cache.get(0)
+    if got is None or len(got[0]) < n + 1:
+        np.seterr(over="ignore")
+        size = max(n + 1, _TOK_CHUNK + 2)
+        pw = np.empty(size, dtype=np.uint64)
+        pw[0] = 1
+        pw[1:] = _TOK_P
+        np.multiply.accumulate(pw, out=pw)
+        p_inv = np.uint64(pow(int(_TOK_P), -1, 2**64))
+        invp = np.empty(size, dtype=np.uint64)
+        invp[0] = 1
+        invp[1:] = p_inv
+        np.multiply.accumulate(invp, out=invp)
+        _tok_pw_cache[0] = (pw, invp)
+    return _tok_pw_cache[0]
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer (in place): spreads the polynomial byte
+    hash so MinHash's multiply-shift family sees uniform input."""
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def flat_token_hashes_np(texts: pd.Series):
+    """Tokenize + hash one Arrow batch of text, byte-level vectorized.
+
+    Returns ``(flat, lengths, isna)``: ``flat`` — uint64 hash per token,
+    all docs concatenated; ``lengths`` — tokens per doc (0 for
+    null/empty); ``isna`` — bool mask of null texts.
+
+    Zero per-token Python objects: the batch is viewed as one contiguous
+    UTF-8 byte buffer (the Arrow layout), tokens are maximal runs of
+    non-ASCII-whitespace found with vectorized byte masks, and each
+    token's hash is a rolling polynomial over its bytes computed from
+    cache-blocked prefix sums (same inverse-power trick as the winnowing
+    kernel — chunk-relative exponents cancel), finished with a
+    splitmix64 mix. The previous object-based path (str.split +
+    pd.util.hash_array) touched ~15x more memory per token and its
+    allocator churn inverted scaling at high worker counts.
+
+    Tokenization note: splits on ASCII whitespace only (the engine's
+    tokenizer definition); ``str.split()`` also splits on unicode spaces.
+    """
+    np.seterr(over="ignore")
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(texts, type=pa.large_string())
+    isna = np.zeros(len(texts), dtype=bool)
+    if arr.null_count:
+        isna = ~np.asarray(arr.is_valid())
+    null_buf, off_buf, data_buf = arr.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int64, count=len(arr) + 1,
+                         offset=arr.offset * 8)
+    base = offs[0]
+    data = np.frombuffer(data_buf, dtype=np.uint8, count=int(offs[-1] - base),
+                         offset=int(base))
+    offs = (offs - base).astype(np.int64)
+    ndocs = len(arr)
+    N = len(data)
+    if N == 0:
+        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64), isna
+
+    ws = _WS_TABLE[data]
+    # boundary flags: position i starts a token iff non-ws and (i is a doc
+    # start or previous byte is ws); ends at i iff non-ws and (next byte is
+    # ws or i is a doc end)
+    prev_ws = np.empty(N, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    next_ws = np.empty(N, dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    doc_bounds = offs[(offs > 0) & (offs < N)]
+    prev_ws[doc_bounds] = True
+    next_ws[doc_bounds - 1] = True
+    starts = np.nonzero(~ws & prev_ws)[0]
+    ends = np.nonzero(~ws & next_ws)[0] + 1  # exclusive
+
+    n_tok = len(starts)
+    if n_tok == 0:
+        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64), isna
+    # tokens per doc: one searchsorted of the (few) doc offsets into the
+    # (many) token starts — NOT per-token lookups
+    lengths = np.diff(np.searchsorted(starts, offs)).astype(np.int64)
+    lengths[isna] = 0  # null slots have empty spans anyway; belt+braces
+
+    # --- chunked rolling-polynomial hash over token byte spans ----------
+    max_tok = int((ends - starts).max())
+    pw, invp = _tok_tables(max_tok)
+    out = np.empty(n_tok, dtype=np.uint64)
+    t_buf = np.empty(min(N, max(_TOK_CHUNK, max_tok)) + 1, dtype=np.uint64)
+    k0 = 0
+    while k0 < n_tok:
+        c0 = starts[k0]
+        # widest token range whose bytes fit the chunk (>=1 token always)
+        k1 = int(np.searchsorted(ends, c0 + max(_TOK_CHUNK, ends[k0] - c0),
+                                 side="right"))
+        k1 = max(k1, k0 + 1)
+        c1 = ends[k1 - 1]
+        seg = data[c0:c1]
+        t = t_buf[: len(seg) + 1]
+        t[0] = 0
+        np.cumsum(seg * invp[: len(seg)], out=t[1:])  # T_rel (wraps)
+        s = starts[k0:k1] - c0
+        e = ends[k0:k1] - c0
+        # H = P^(e-1) * (T[e] - T[s]) with chunk-relative exponents: the
+        # global offset cancels, so any token-aligned chunking is exact
+        out[k0:k1] = pw[e - 1] * (t[e] - t[s])
+        k0 = k1
+    return _mix64(out), lengths, isna
 
 
 def gram_hashes_np(flat: np.ndarray, lengths: np.ndarray, n: int):
