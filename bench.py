@@ -38,7 +38,16 @@ def main() -> None:
     from recordlinkage_spark.suffix import FingerprintSubstring
     from recordlinkage_spark import ann
 
-    spark = get_spark("recordlinkage-bench", master=f"local[{CPUS}]")
+    # Task-slot sizing: every pandas-UDF stage keeps one JVM task thread
+    # PLUS one Python worker hot per slot, so local[k] uses ~2k threads.
+    # On this 32-vCPU box local[32] runs 64 hot threads — 2x
+    # oversubscription the hypervisor punishes with 15-20% steal (measured
+    # 4x slower than local[16]). Budget slots so slots + workers fit the
+    # allotted CPUs, exactly how real executors are sized.
+    cpus = int(CPUS)
+    slots = cpus if cpus <= 16 else cpus // 2
+    spark = get_spark("recordlinkage-bench", master=f"local[{slots}]",
+                      shuffle_partitions=max(2 * slots, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
@@ -126,7 +135,8 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_dedup": round(n_docs / timings["dedup_pipeline"], 1),
-        "cpus": int(CPUS),
+        "cpus": cpus,
+        "task_slots": slots,
     }))
     spark.stop()
 

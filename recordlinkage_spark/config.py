@@ -64,8 +64,14 @@ def get_spark(
     ``spark.sql.shuffle.partitions`` sized ~2-3x total cores and
     AQE coalescing handling the rest.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Slot budget: pandas-UDF stages keep one JVM task thread + one Python
+    # worker hot per slot (2 threads/slot). Above 16 allotted CPUs, running
+    # one slot per CPU doubles the hot-thread count past the machine width
+    # and inverts scaling (measured 4x on this box); size slots like real
+    # executors are sized — so slots + workers fit the allotment.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    slots = cpus if cpus <= 16 else cpus // 2
+    master = master or os.environ.get("SPARK_MASTER", f"local[{slots}]")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -79,7 +85,7 @@ def get_spark(
         )
         # Arrow for pandas UDFs — the only Python hot path we allow.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         # local mode = ONE JVM shared by all task slots: size the heap for
         # 32 concurrent array-heavy tasks or GC thrash inverts scaling
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
