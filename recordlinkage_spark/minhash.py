@@ -160,6 +160,49 @@ def make_text_band_udf(
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
+def make_signature_udf(
+    num_perm: int, bands: int, rows: int, shingle_size: int,
+    span_tokens: int, winnow_window: int, seed: int = 42,
+):
+    """pandas UDF: raw text -> struct(bands, fps, sh) — ONE tokenize+hash
+    pass feeding all three dedup passes:
+
+      bands: LSH band hashes (MinHash over shingle grams)
+      fps:   winnowed rolling-hash fingerprints (long-span substring pass)
+      sh:    distinct shingle-hash set (exact-Jaccard verification)
+
+    The pipeline materializes this once per run instead of re-tokenizing
+    the corpus three times (3x less Python compute AND 3x fewer Arrow
+    transfers of the raw text). Null text -> null struct."""
+    if bands * rows != num_perm:
+        raise ValueError("num_perm must equal bands * rows")
+    from recordlinkage_spark.suffix import winnow_fingerprints_np
+
+    a, b = _perm_params(num_perm, seed)
+
+    def batch(texts: pd.Series) -> pd.DataFrame:
+        np.seterr(over="ignore")
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        band_i64 = _bands_from_segments(grams, offsets, a, b, num_perm, bands, rows)
+        shv, shc = textfns.distinct_per_doc_np(grams, counts)
+        sh_series = textfns.segments_to_series(shv, shc, isna)
+        fpv, fpc = winnow_fingerprints_np(flat, lengths, span_tokens, winnow_window)
+        fp_series = textfns.segments_to_series(fpv, fpc, isna)
+        bands_col = pd.Series(
+            [None if na else band_i64[:, i] for i, na in enumerate(isna)],
+            dtype=object,
+        )
+        return pd.DataFrame({"bands": bands_col, "fps": fp_series, "sh": sh_series})
+
+    return F.pandas_udf(
+        batch,
+        "bands array<bigint>, fps array<bigint>, sh array<bigint>",
+    ).asNondeterministic()
+
+
 def make_shingle_array_udf(shingle_size: int):
     """pandas UDF: raw text -> array<bigint> DISTINCT shingle hashes — the
     verify-stage shingle table (exact Jaccard runs JVM-side on these

@@ -98,51 +98,65 @@ class DedupPipeline:
         text_col: str = "text",
     ) -> dict[str, DataFrame]:
         """Returns {'pairs': ..., 'matches': ..., 'clusters': ...}."""
+        from recordlinkage_spark.minhash import bucket_pairs, exact_jaccard, make_signature_udf
+
         spark = records.sparkSession
         self._load_manifest()
         cfg = self.config
-        lsh = MinHashLSH(
-            num_perm=cfg.num_perm,
-            bands=cfg.lsh_bands,
-            rows=cfg.lsh_rows,
-            shingle_size=cfg.shingle_size,
-            char_level=cfg.char_shingles,
-            max_bucket_size=cfg.max_bucket_size,
-        )
+        id_type = records.schema[id_col].dataType.simpleString()
 
-        candidates = self._stage(
-            spark, "candidates", lambda: lsh.candidate_pairs(records, id_col, text_col)
-        )
+        # ONE tokenize+hash pass computes all three per-doc signatures
+        # (LSH bands, winnowed fingerprints, distinct shingle set); the
+        # materialized stage feeds every downstream pass — the corpus text
+        # crosses into Python exactly once per run.
+        def build_signatures() -> DataFrame:
+            df = records
+            dp = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < dp:
+                df = df.repartition(dp)
+            udf = make_signature_udf(
+                cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
+                cfg.span_tokens, cfg.winnow_window,
+            )
+            return df.select(
+                F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
+            ).select("id", "_sig.*")
+
+        signatures = self._stage(spark, "signatures", build_signatures)
+
+        def build_candidates() -> DataFrame:
+            band_rows = signatures.filter(F.col("bands").isNotNull()).select(
+                "id", F.posexplode("bands").alias("band_id", "band_hash")
+            )
+            return bucket_pairs(
+                band_rows, ["band_id", "band_hash"], cfg.max_bucket_size, id_type
+            )
+
+        candidates = self._stage(spark, "candidates", build_candidates)
 
         # verify the LSH candidates with exact Jaccard on shingle-hash sets
         # (JVM array_intersect/union), threshold filter. candidates is
         # already materialized by its stage, so the broadcast-vs-shuffle
         # heuristic's count() is free.
-        def build_verified() -> DataFrame:
-            from recordlinkage_spark.minhash import exact_jaccard
-
-            sh = lsh.with_shingles(records, text_col).select(
-                F.col(id_col).alias("id"), F.col("_sh")
-            )
-            return exact_jaccard(sh=sh, cands=candidates,
-                                 threshold=self.jaccard_threshold)
-
-        verified = self._stage(spark, "verified", build_verified)
+        verified = self._stage(
+            spark, "verified",
+            lambda: exact_jaccard(
+                sh=signatures.select("id", F.col("sh").alias("_sh")),
+                cands=candidates, threshold=self.jaccard_threshold,
+            ),
+        )
 
         if self.use_substring_pass:
             # substring dups have LOW global Jaccard by construction, so
             # they bypass the Jaccard gate: the winnowing fingerprint is a
             # deterministic witness of a shared >=span+window-1-token run.
-            fps = FingerprintSubstring(
-                span_tokens=cfg.span_tokens,
-                winnow_window=cfg.winnow_window,
-                max_bucket_size=cfg.max_bucket_size,
-            )
-            sub_pairs = self._stage(
-                spark, "substring_pairs",
-                lambda: fps.candidate_pairs(records, id_col, text_col)
-                .withColumn("jaccard", F.lit(None).cast("double")),
-            )
+            def build_sub_pairs() -> DataFrame:
+                fp_rows = signatures.select("id", F.explode("fps").alias("fp"))
+                return bucket_pairs(
+                    fp_rows, ["fp"], cfg.max_bucket_size, id_type
+                ).withColumn("jaccard", F.lit(None).cast("double"))
+
+            sub_pairs = self._stage(spark, "substring_pairs", build_sub_pairs)
             matches = self._stage(
                 spark, "matches",
                 lambda: verified.unionByName(sub_pairs).dropDuplicates(["id_1", "id_2"]),
