@@ -81,12 +81,17 @@ def _bands_from_segments(
             t += b[i]
             sig[i, d0:d1] = np.minimum.reduceat(t, offs)
         d0 = d1
-    # combine r rows per band with a mixed polynomial hash
+    # combine r rows per band with a mixed polynomial hash; salt each band
+    # with its index so band hashes are globally unique keys — downstream
+    # bucketing joins on the hash ALONE (no band_id column in the shuffle;
+    # cross-band bucket merges need a 64-bit collision, ~1e-11 per pair)
     band = sig.reshape(bands, rows, -1)
     acc = np.zeros((bands, band.shape[2]), dtype=np.uint64)
     for r_i in range(rows):
         acc = acc * _MIX + band[:, r_i, :]
         acc ^= acc >> np.uint64(33)
+    salt = (np.arange(bands, dtype=np.uint64) * _MIX)[:, None]
+    acc ^= salt
     return acc.view(np.int64)
 
 
@@ -459,11 +464,12 @@ class MinHashLSH:
         Arrow batch`` rows thanks to the streaming carry-over), so a
         mega-bucket can neither OOM an executor nor emit O(n^2) pairs. AQE
         handles residual moderate skew."""
-        bands = self.bands_table(df, id_col, text_col)
+        bands = self.bands_table(df, id_col, text_col).select("id", "band_hash")
         id_type = df.schema[id_col].dataType.simpleString()
-        return bucket_pairs(
-            bands, ["band_id", "band_hash"], self.max_bucket_size, id_type
-        )
+        # band hashes carry their band index as a salt (see
+        # _bands_from_segments), so the bucket key is the hash alone —
+        # one long less per shuffled row than keying on (band_id, hash)
+        return bucket_pairs(bands, ["band_hash"], self.max_bucket_size, id_type)
 
     def verified_pairs(
         self,

@@ -125,11 +125,13 @@ class DedupPipeline:
         signatures = self._stage(spark, "signatures", build_signatures)
 
         def build_candidates() -> DataFrame:
-            band_rows = signatures.filter(F.col("bands").isNotNull()).select(
-                "id", F.posexplode("bands").alias("band_id", "band_hash")
+            # band hashes are band-index-salted (minhash._bands_from_segments),
+            # so the bucket key is the hash alone
+            band_rows = signatures.select(
+                "id", F.explode("bands").alias("band_hash")
             )
             return bucket_pairs(
-                band_rows, ["band_id", "band_hash"], cfg.max_bucket_size, id_type
+                band_rows, ["band_hash"], cfg.max_bucket_size, id_type
             )
 
         candidates = self._stage(spark, "candidates", build_candidates)

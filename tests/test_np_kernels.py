@@ -203,6 +203,7 @@ def test_bands_from_segments_chunking_invariant(rng):
     for r_i in range(4):
         acc = acc * mh._MIX + band[:, r_i, :]
         acc ^= acc >> np.uint64(33)
+    acc ^= (np.arange(8, dtype=np.uint64) * mh._MIX)[:, None]  # band salt
     expect = acc.view(np.int64)
 
     old_chunk = mh._CHUNK_HASHES
