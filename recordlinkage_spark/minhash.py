@@ -192,8 +192,18 @@ def make_signature_udf(
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
         band_i64 = _bands_from_segments(grams, offsets, a, b, num_perm, bands, rows)
-        shv, shc = textfns.distinct_per_doc_np(grams, counts)
-        sh_series = textfns.segments_to_series(shv, shc, isna)
+        # verify set as 32-bit hashes: the shingle arrays are the bulk of
+        # the materialized signatures (~1.2KB/doc at 64-bit); truncating
+        # halves that, and a 32-bit collision inside one pair's ~300-hash
+        # union (P ~ 1e-5) moves its Jaccard by ~0.003 — far below any
+        # useful threshold granularity
+        sh32 = (grams >> np.uint64(32)).astype(np.uint32)
+        shv, shc = textfns.distinct_per_doc_np(sh32, counts)
+        sh_series = pd.Series(
+            [None if na else seg for seg, na in zip(
+                np.split(shv.view(np.int32), np.cumsum(shc)[:-1]), isna)],
+            dtype=object,
+        )
         fpv, fpc = winnow_fingerprints_np(flat, lengths, span_tokens, winnow_window)
         fp_series = textfns.segments_to_series(fpv, fpc, isna)
         bands_col = pd.Series(
@@ -204,7 +214,7 @@ def make_signature_udf(
 
     return F.pandas_udf(
         batch,
-        "bands array<bigint>, fps array<bigint>, sh array<bigint>",
+        "bands array<bigint>, fps array<bigint>, sh array<int>",
     ).asNondeterministic()
 
 
