@@ -88,3 +88,20 @@ def test_connected_components_driver_vs_loop_equivalence(spark):
     assert {(r["id"], r["cluster_id"]) for r in sfast.collect()} == {
         (r["id"], r["cluster_id"]) for r in sloop.collect()
     }
+
+
+def test_one_to_one_driver_vs_wave_equivalence(spark):
+    """Driver sequential greedy == distributed wave fixpoint on a random
+    pair set (both must equal the reference's order-dependent greedy)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for s in range(300):
+        rows.append((rng.randint(0, 60), rng.randint(100, 160), s))
+    pairs = spark.createDataFrame(rows, "id_1 long, id_2 long, seq long")
+    fast = OneToOneLinking().compute(pairs)
+    wave = OneToOneLinking(driver_threshold=0).compute(pairs)
+    assert {(r["id_1"], r["id_2"]) for r in fast.collect()} == {
+        (r["id_1"], r["id_2"]) for r in wave.collect()
+    }
