@@ -54,17 +54,21 @@ class OneToOneLinking:
 
     def _compute_driver(self, pairs: DataFrame, order_col: str) -> DataFrame:
         """Literal reference semantics (network.py:38-49): iterate pairs in
-        seq order, keep a pair iff neither endpoint was seen."""
+        seq order, keep a pair iff its id_1 is unseen AMONG id_1s and its
+        id_2 unseen among id_2s — the reference tracks the two levels in
+        SEPARATE sets (set_a/set_b, network.py:40-47), so one record may
+        appear once on each side."""
         spark = pairs.sparkSession
         pdf = pairs.select("id_1", "id_2", order_col).toPandas()
         pdf = pdf.sort_values(order_col, kind="stable")
-        seen: set = set()
+        seen_a: set = set()
+        seen_b: set = set()
         keep = []
         for t in pdf.itertuples(index=False):
             a, b = t[0], t[1]
-            if a not in seen and b not in seen:
-                seen.add(a)
-                seen.add(b)
+            if a not in seen_a and b not in seen_b:
+                seen_a.add(a)
+                seen_b.add(b)
                 keep.append(True)
             else:
                 keep.append(False)

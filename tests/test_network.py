@@ -96,9 +96,14 @@ def test_one_to_one_driver_vs_wave_equivalence(spark):
     import random
 
     rng = random.Random(11)
+    # OVERLAPPING id spaces (dedup-style): the reference tracks the two
+    # levels in separate sets, so an id may appear once per side —
+    # disjoint spaces would not exercise that
     rows = []
     for s in range(300):
-        rows.append((rng.randint(0, 60), rng.randint(100, 160), s))
+        a, b = rng.randint(0, 80), rng.randint(0, 80)
+        if a != b:
+            rows.append((a, b, s))
     pairs = spark.createDataFrame(rows, "id_1 long, id_2 long, seq long")
     fast = OneToOneLinking().compute(pairs)
     wave = OneToOneLinking(driver_threshold=0).compute(pairs)
