@@ -362,22 +362,11 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_embedding_near_dup_exact(spark, sf):
-    from recordlinkage_spark.ann import cosine_sim_col
+    from recordlinkage_spark.ann import cosine_all_pairs
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_1"), F.col("v").alias("v1")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    b = emb.select(F.col("vec_id").alias("id_2"), F.col("v").alias("v2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_1") > F.col("id_2"))
-        .withColumn("cosine", cosine_sim_col(F.col("v1"), F.col("v2")))
-        .filter(F.col("cosine") >= 0.35)
-        .select("id_1", "id_2", _r6(F.col("cosine")).alias("cosine"))
-    )
+    emb = _t(spark, sf, "embeddings")
+    out = cosine_all_pairs(emb, threshold=0.35)
+    return out.select("id_1", "id_2", _r6(F.col("cosine")).alias("cosine"))
 
 
 def q_embedding_near_dup_lsh(spark, sf):
@@ -535,10 +524,12 @@ def q_multimodal_features(spark, sf):
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     out = extract_features(with_media_meta(media).drop("n_bytes", "payload_md5"))
+    # posexplode the feature vector into scalar rows so the driver's
+    # canonicalizer (pandas factorize/sort) never sees an array column.
     return out.select(
         "doc_id", "kind", "width", "height",
-        F.transform("feature", lambda x: F.round(x, 4)).alias("feature"),
-    )
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("value", F.round("value", 4))
 
 
 def q_eval_measures(spark, sf):

@@ -2,25 +2,69 @@
 
 Beyond-the-reference operator set for training-data pipelines (task brief):
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
-  O(n·q) but every term is JVM columnar (zip_with/aggregate), so it
-  parallelizes perfectly; right-sized when the query set is small enough to
-  broadcast.
-- ``lsh_topk``: random-hyperplane LSH buckets (sign bits of h random
-  projections) shrink the candidate set; cosine is evaluated only within
-  matching buckets — the 100 TB path. Multi-probe via ``tables``
-  independent hash tables.
-- ``embedding_near_dup_pairs``: all pairs with cosine >= threshold via the
-  same LSH bucketing — embedding-cosine near-dup dedup.
+  O(n·q), but the scoring kernel is ONE numpy matmul per Arrow batch
+  (corpus batch × broadcast query matrix) with a per-batch top-k cut, so
+  only ~(k+1)·batches·q rows ever reach the final window; right-sized
+  when the query set is small enough to broadcast.
+- ``cosine_all_pairs``: exact all-pairs at a cosine threshold — the
+  near-dup correctness oracle. Quadratic by definition; the corpus matrix
+  is broadcast into a batched matmul kernel, so it distributes but is
+  only for oracle-scale corpora. The 100 TB path is the LSH variant.
+- ``lsh_topk`` / ``embedding_near_dup_pairs``: random-hyperplane LSH
+  (sign bits of random projections) shrink the candidate set; exact
+  cosine is evaluated only within matching buckets. All ``tables`` hash
+  codes come from a SINGLE matmul pass over the vectors, and the bucket
+  self-join runs through the same capped, skew-safe pair expander as the
+  MinHash pass (minhash.bucket_pairs) — a degenerate bucket (zero
+  vectors, boilerplate cell) is dropped at the cap instead of going
+  quadratic.
+
+No per-row Python anywhere: every kernel stacks the Arrow batch into an
+(N, dim) ndarray and does matrix math (input_hint: vectorized
+pandas/Arrow UDFs only).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
+from recordlinkage_spark.minhash import bucket_pairs
+
+
+# ---------------------------------------------------------------------------
+# numpy helpers
+# ---------------------------------------------------------------------------
+
+def _stack(vecs: pd.Series) -> np.ndarray:
+    """(N, dim) float64 matrix from an Arrow list column (no nulls)."""
+    return np.array(vecs.tolist(), dtype=np.float64)
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vector -> cosine 0 instead of NaN
+    return M / norms
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, matrix) for a broadcastable vector set."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = pdf[pdf[vec_col].notna()]
+    ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 1))
+    return ids, _stack(pdf[vec_col])
+
+
+# ---------------------------------------------------------------------------
+# JVM cosine (kept for single-pair / ad-hoc column use; the batch kernels
+# below are the hot path — interpreted higher-order lambdas measured ~35x
+# slower than a fused Arrow matmul, PLANS.md addendum #1)
+# ---------------------------------------------------------------------------
 
 def _dot(a, b):
     return F.aggregate(
@@ -35,9 +79,35 @@ def _norm(a):
 
 
 def cosine_sim_col(a, b):
-    """Cosine similarity between two array<float/double> columns (JVM)."""
+    """Cosine similarity between two array<double> columns (JVM lambdas).
+
+    Slow path — use ``cosine_pairs`` (Arrow matmul) in anything hot."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
+
+def _cosine_pairs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    ok = (a.notna() & b.notna()).to_numpy()
+    out = np.full(len(a), np.nan)
+    if ok.any():
+        A = _stack(a[ok])
+        B = _stack(b[ok])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0.0] = np.inf
+        out[ok] = num / den
+    return pd.Series(out)
+
+
+def cosine_pairs(a, b):
+    """Vectorized cosine over two array columns: one einsum per batch.
+
+    (UDF built lazily — pandas_udf type parsing needs an active session.)"""
+    return F.pandas_udf(_cosine_pairs_batch, "double")(a, b)
+
+
+# ---------------------------------------------------------------------------
+# exact baselines
+# ---------------------------------------------------------------------------
 
 def cosine_topk(
     corpus: DataFrame,
@@ -49,22 +119,49 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine; broadcast the queries.
 
-    Deterministic tiebreak (sim desc, corpus id asc) so results are stable
-    and oracle-comparable. Excludes self-matches when ids collide.
+    Per Arrow batch: stack the corpus vectors, one (N,dim)@(dim,q) matmul
+    against the normalized query matrix, deterministic per-batch top-(k+1)
+    (cosine desc, corpus id asc — the +1 survives self-match removal), then
+    a global window for the final rank. Deterministic tiebreak so results
+    are stable and oracle-comparable. Excludes self-matches on id collision.
     """
     q_id_col = q_id_col or id_col
-    q = queries.select(
-        F.col(q_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
+    spark = corpus.sparkSession
+    q_ids, Q = _collect_matrix(queries, q_id_col, vec_col)
+    q_type = dict(queries.dtypes)[q_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"query_id {q_type}, neighbor_id {id_type}, cosine double"
+    if len(q_ids) == 0:
+        return spark.createDataFrame([], schema + ", rank int")
+    Qt = _normalize_rows(Q).T  # (dim, q)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            Cn = _normalize_rows(_stack(pdf[vec_col]))
+            S = Cn @ Qt  # (n, q)
+            c_ids = pdf[id_col].to_numpy()
+            take = min(k + 1, len(c_ids))
+            rows = []
+            for j in range(S.shape[1]):
+                idx = np.lexsort((c_ids, -S[:, j]))[:take]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": c_ids[idx],
+                            "cosine": S[idx, j],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
     scored = (
-        c.crossJoin(F.broadcast(q))
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, schema=schema)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim_col(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -76,63 +173,116 @@ def cosine_topk(
     )
 
 
-def make_hyperplane_udf(dim: int, bits: int, seed: int):
-    """pandas UDF: embedding -> int64 sign-bit bucket (one hash table)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(bits, dim))
+def cosine_all_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (id_1 > id_2) with cosine >= threshold.
+
+    Broadcast the full normalized corpus matrix into a batched matmul
+    kernel — distributes the O(n^2) score matrix across partitions but
+    requires the corpus to fit in executor memory; this is the
+    correctness oracle, ``embedding_near_dup_pairs`` is the scale path.
+    """
+    ids, M = _collect_matrix(df, id_col, vec_col)
+    id_type = dict(df.dtypes)[id_col]
+    Mt = _normalize_rows(M).T  # (dim, n)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            Cn = _normalize_rows(_stack(pdf[vec_col]))
+            S = Cn @ Mt  # (b, n)
+            b_ids = pdf[id_col].to_numpy()
+            hit = (S >= threshold) & (b_ids[:, None] > ids[None, :])
+            i, j = np.nonzero(hit)
+            if len(i):
+                yield pd.DataFrame(
+                    {"id_1": b_ids[i], "id_2": ids[j], "cosine": S[i, j]}
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        emit, schema=f"id_1 {id_type}, id_2 {id_type}, cosine double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH path
+# ---------------------------------------------------------------------------
+
+def _hyperplane_codes_udf(dim: int, bits: int, tables: int, seed: int):
+    """pandas UDF: embedding -> array<bigint> of ``tables`` sign-bit codes.
+
+    ALL hash tables come from one (N,dim)@(dim,tables*bits) matmul per
+    Arrow batch; bit packing is a (tables,bits)@pow2 dot. Per-table plane
+    seeds (seed + 1000*t) match the round-1 layout so bucket values are
+    stable across versions. Null vectors hash to bucket 0 in every table.
+    """
+    planes = np.concatenate(
+        [
+            np.random.RandomState(seed + 1000 * t).normal(size=(bits, dim))
+            for t in range(tables)
+        ],
+        axis=0,
+    ).T  # (dim, tables*bits)
+    pow2 = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
 
     def batch(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
-            if v is None:
-                continue
-            signs = planes @ np.asarray(v, dtype=np.float64) > 0
-            acc = 0
-            for b in signs:
-                acc = (acc << 1) | int(b)
-            out[i] = acc
-        return pd.Series(out)
+        n = len(vecs)
+        out = np.zeros((n, tables), dtype=np.int64)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            V = _stack(vecs[ok])
+            signs = (V @ planes) > 0  # (m, tables*bits)
+            out[ok] = signs.reshape(-1, tables, bits).astype(np.int64) @ pow2
+        return pd.Series(list(out))
 
-    return F.pandas_udf(batch, LongType())
+    return F.pandas_udf(batch, "array<bigint>")
 
 
 def lsh_buckets(
     df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
     bits: int = 12, tables: int = 4, seed: int = 42,
 ) -> DataFrame:
-    """(id, table_id, bucket) — one row per hash table."""
-    out = None
-    for t in range(tables):
-        udf = make_hyperplane_udf(dim, bits, seed + 1000 * t)
-        part = df.select(
-            F.col(id_col).alias("id"),
-            F.lit(t).alias("table_id"),
-            udf(F.col(vec_col).cast("array<double>")).alias("bucket"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    """(id, table_id, bucket) — one row per hash table, ONE pass over the
+    vectors (single matmul UDF + posexplode)."""
+    udf = _hyperplane_codes_udf(dim, bits, tables, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(udf(F.col(vec_col).cast("array<double>"))).alias(
+            "table_id", "bucket"
+        ),
+    )
 
 
 def embedding_near_dup_pairs(
     df: DataFrame, dim: int, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bits: int = 12, tables: int = 4, seed: int = 42,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold among LSH-bucket collisions."""
+    """All pairs with cosine >= threshold among LSH-bucket collisions.
+
+    Pair expansion goes through minhash.bucket_pairs: one shuffle on the
+    (table_id, bucket) key, streaming in-bucket expansion with the bucket
+    cap — a hot bucket is dropped at the cap instead of fanning out
+    quadratically. Verification is the Arrow einsum kernel.
+    """
     buckets = lsh_buckets(df, dim, id_col, vec_col, bits, tables, seed)
-    key = ["table_id", "bucket"]
-    cands = (
-        buckets.withColumnRenamed("id", "id_1")
-        .join(buckets.withColumnRenamed("id", "id_2"), key)
-        .filter(F.col("id_1") > F.col("id_2"))
-        .select("id_1", "id_2")
-        .dropDuplicates(["id_1", "id_2"])
+    id_type = dict(df.dtypes)[id_col]
+    cands = bucket_pairs(buckets, ["table_id", "bucket"], cap=bucket_cap,
+                         id_type=id_type)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v"))
     return (
         cands.join(vecs.withColumnRenamed("id", "id_1").withColumnRenamed("_v", "_v1"), "id_1")
         .join(vecs.withColumnRenamed("id", "id_2").withColumnRenamed("_v", "_v2"), "id_2")
-        .withColumn("cosine", cosine_sim_col(F.col("_v1"), F.col("_v2")))
+        .withColumn("cosine", cosine_pairs(F.col("_v1"), F.col("_v2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     )
@@ -142,12 +292,24 @@ def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bits: int = 8, tables: int = 8, seed: int = 42,
+    bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k: union of bucket collisions across tables, then
-    exact cosine + window top-k within candidates."""
+    exact cosine (matmul vs the broadcast query matrix) + window top-k.
+
+    Corpus buckets larger than ``bucket_cap`` are dropped (anti-join on
+    the small hot-bucket list) — a degenerate cell costs recall on
+    near-orthogonal neighbors instead of a quadratic fan-out.
+    """
     cb = lsh_buckets(corpus, dim, id_col, vec_col, bits, tables, seed)
     qb = lsh_buckets(queries, dim, id_col, vec_col, bits, tables, seed)
     key = ["table_id", "bucket"]
+    if bucket_cap is not None:
+        hot = (
+            cb.groupBy(*key).count()
+            .filter(F.col("count") > bucket_cap).drop("count")
+        )
+        cb = cb.join(F.broadcast(hot), key, "left_anti")
     cands = (
         qb.withColumnRenamed("id", "query_id")
         .join(cb.withColumnRenamed("id", "neighbor_id"), key)
@@ -155,11 +317,36 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv"))
-    scored = (
-        cands.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", cosine_sim_col(F.col("_qv"), F.col("_cv")))
+
+    q_ids, Q = _collect_matrix(queries, id_col, vec_col)
+    sort_idx = np.argsort(q_ids)
+    q_ids_sorted, Qn = q_ids[sort_idx], _normalize_rows(Q)[sort_idx]
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    joined = cands.join(cv, "neighbor_id")
+    q_type = dict(queries.dtypes)[id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["_cv"].notna()]
+            if len(pdf) == 0:
+                continue
+            Cn = _normalize_rows(_stack(pdf["_cv"]))
+            pos = np.searchsorted(q_ids_sorted, pdf["query_id"].to_numpy())
+            cos = np.einsum("ij,ij->i", Cn, Qn[pos])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        score, schema=f"query_id {q_type}, neighbor_id {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
