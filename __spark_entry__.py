@@ -907,6 +907,127 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             ) WHERE rn = 1
         """,
+        # Sequential greedy one-to-one matching as a recursive CTE: the
+        # wave formulation (accept pairs that are min-seq on BOTH their
+        # endpoints among remaining, drop conflicts, repeat) is provably
+        # identical to the reference's sequential scan (network.py:38-49).
+        "one_to_one": """
+            WITH RECURSIVE base AS (
+              SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+                     a.c_custkey * 100000000 + b.c_custkey AS seq
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey AND a.c_custkey > b.c_custkey
+            ),
+            g AS (
+              SELECT 'r' AS tag, id_1, id_2, seq FROM base
+              UNION ALL
+              SELECT * FROM (
+                WITH ranked AS (
+                  SELECT id_1, id_2, seq,
+                         row_number() OVER (PARTITION BY id_1 ORDER BY seq) AS r1,
+                         row_number() OVER (PARTITION BY id_2 ORDER BY seq) AS r2
+                  FROM g WHERE tag = 'r'
+                ),
+                winners AS (SELECT id_1, id_2, seq FROM ranked WHERE r1 = 1 AND r2 = 1)
+                SELECT 'a' AS tag, id_1, id_2, seq FROM winners
+                UNION ALL
+                SELECT 'r' AS tag, r.id_1, r.id_2, r.seq
+                FROM ranked r
+                WHERE r.id_1 NOT IN (SELECT id_1 FROM winners)
+                  AND r.id_2 NOT IN (SELECT id_2 FROM winners)
+              )
+            )
+            SELECT id_1, id_2 FROM g WHERE tag = 'a'
+        """,
+        # Deterministic 2-means (fixed 0.05/0.95 init, n_init=1) as a
+        # recursive CTE over the weighted unique feature vectors: mirrors
+        # KMeansClassifier.fit's Lloyd loop (tie -> cluster 0, empty
+        # cluster keeps its center, np.allclose(atol=1e-6, rtol=1e-5)
+        # convergence, final centers are the post-update ones).
+        "kmeans_classify": f"""
+            WITH RECURSIVE p AS ({_CUSTOMER_PAIRS_SQL}),
+            f AS (
+              SELECT id_1, id_2,
+                CASE WHEN seg1 = seg2 THEN 1.0 ELSE 0.0 END AS f1,
+                CASE WHEN abs(bal1 - bal2) <= 500.0 THEN 1.0 ELSE 0.0 END AS f2
+              FROM p
+            ),
+            uv AS (SELECT f1, f2, count(*)::DOUBLE AS w FROM f GROUP BY 1, 2),
+            km AS (
+              SELECT 0 AS it, 0.05::DOUBLE AS c01, 0.05::DOUBLE AS c02,
+                     0.95::DOUBLE AS c11, 0.95::DOUBLE AS c12, false AS done
+              UNION ALL
+              SELECT * FROM (
+                WITH a AS (
+                  SELECT uv.f1, uv.f2, uv.w,
+                         km.it, km.c01, km.c02, km.c11, km.c12,
+                    CASE WHEN (uv.f1-km.c01)*(uv.f1-km.c01)+(uv.f2-km.c02)*(uv.f2-km.c02)
+                           <= (uv.f1-km.c11)*(uv.f1-km.c11)+(uv.f2-km.c12)*(uv.f2-km.c12)
+                         THEN 0 ELSE 1 END AS k
+                  FROM uv, km WHERE NOT km.done AND km.it < 300
+                ),
+                nc AS (
+                  SELECT max(it) + 1 AS it,
+                    max(c01) AS o01, max(c02) AS o02, max(c11) AS o11, max(c12) AS o12,
+                    coalesce(sum(w*f1) FILTER (WHERE k=0) / sum(w) FILTER (WHERE k=0), max(c01)) AS c01,
+                    coalesce(sum(w*f2) FILTER (WHERE k=0) / sum(w) FILTER (WHERE k=0), max(c02)) AS c02,
+                    coalesce(sum(w*f1) FILTER (WHERE k=1) / sum(w) FILTER (WHERE k=1), max(c11)) AS c11,
+                    coalesce(sum(w*f2) FILTER (WHERE k=1) / sum(w) FILTER (WHERE k=1), max(c12)) AS c12
+                  FROM a
+                  HAVING count(*) > 0
+                )
+                SELECT it, c01, c02, c11, c12,
+                  (abs(c01-o01) <= 1e-6 + 1e-5*abs(o01) AND
+                   abs(c02-o02) <= 1e-6 + 1e-5*abs(o02) AND
+                   abs(c11-o11) <= 1e-6 + 1e-5*abs(o11) AND
+                   abs(c12-o12) <= 1e-6 + 1e-5*abs(o12)) AS done
+                FROM nc
+              )
+            ),
+            final AS (SELECT * FROM km ORDER BY it DESC LIMIT 1)
+            SELECT f.id_1, f.id_2,
+              CASE WHEN (f1-c11)*(f1-c11)+(f2-c12)*(f2-c12)
+                      < (f1-c01)*(f1-c01)+(f2-c02)*(f2-c02)
+                   THEN 1 ELSE 0 END AS label
+            FROM f, final
+        """,
+        # Bernoulli NB over label-binarized features is closed-form given
+        # the class/feature-value counts (nb_sklearn.py:268-430 semantics:
+        # per-class counts + alpha=1e-4 smoothing, label = argmax JLL).
+        # Truth in the driver query = same-mktsegment pairs, so y == f1.
+        "nb_classify": f"""
+            WITH p AS ({_CUSTOMER_PAIRS_SQL}),
+            f AS (
+              SELECT id_1, id_2,
+                CASE WHEN seg1 = seg2 THEN 1.0 ELSE 0.0 END AS f1,
+                CASE WHEN abs(bal1 - bal2) <= 1000.0 THEN 1.0 ELSE 0.0 END AS f2,
+                CASE WHEN seg1 = seg2 THEN 1 ELSE 0 END AS y
+              FROM p
+            ),
+            s AS (
+              SELECT
+                sum(CASE WHEN y=0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+                sum(CASE WHEN y=1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                sum(CASE WHEN y=0 AND f1=0.0 THEN 1 ELSE 0 END)::DOUBLE AS c0f10,
+                sum(CASE WHEN y=0 AND f1=1.0 THEN 1 ELSE 0 END)::DOUBLE AS c0f11,
+                sum(CASE WHEN y=1 AND f1=0.0 THEN 1 ELSE 0 END)::DOUBLE AS c1f10,
+                sum(CASE WHEN y=1 AND f1=1.0 THEN 1 ELSE 0 END)::DOUBLE AS c1f11,
+                sum(CASE WHEN y=0 AND f2=0.0 THEN 1 ELSE 0 END)::DOUBLE AS c0f20,
+                sum(CASE WHEN y=0 AND f2=1.0 THEN 1 ELSE 0 END)::DOUBLE AS c0f21,
+                sum(CASE WHEN y=1 AND f2=0.0 THEN 1 ELSE 0 END)::DOUBLE AS c1f20,
+                sum(CASE WHEN y=1 AND f2=1.0 THEN 1 ELSE 0 END)::DOUBLE AS c1f21
+              FROM f
+            )
+            SELECT id_1, id_2,
+              CASE WHEN
+                ln(n1) - ln(n0)
+                + ln((CASE WHEN f1=1.0 THEN c1f11 ELSE c1f10 END) + 1e-4) - ln(n1 + 2e-4)
+                - ln((CASE WHEN f1=1.0 THEN c0f11 ELSE c0f10 END) + 1e-4) + ln(n0 + 2e-4)
+                + ln((CASE WHEN f2=1.0 THEN c1f21 ELSE c1f20 END) + 1e-4) - ln(n1 + 2e-4)
+                - ln((CASE WHEN f2=1.0 THEN c0f21 ELSE c0f20 END) + 1e-4) + ln(n0 + 2e-4)
+                > 0 THEN 1 ELSE 0 END AS label
+            FROM f, s
+        """,
         "logreg_manual": f"""
             SELECT id_1, id_2,
               round(1.0 / (1.0 + exp(-(

@@ -92,6 +92,7 @@ class LogisticRegressionClassifier(BaseClassifier):
         labeled = features.join(
             truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
         ).fillna({"_y": 0})
+        _guard_discrete(features, self._cols)
         grouped = labeled.groupBy(*self._cols, "_y").count().collect()
         if not any(r["_y"] == 1 for r in grouped):
             raise ValueError("training data has zero matches (base.py:916-922)")
@@ -123,6 +124,27 @@ class LogisticRegressionClassifier(BaseClassifier):
         score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         return features.select(
             *PAIR, score.alias("score"), (score > 0.5).cast("int").alias("label")
+        )
+
+
+def _guard_discrete(features: DataFrame, cols: list[str],
+                    max_unique: int = 100_000) -> None:
+    """Fail fast before collecting the unique-vector table.
+
+    Driver-side fits (LogReg/NB/ECM sufficient-statistics trick) assume
+    DISCRETE feature vectors — the reference shares the assumption
+    silently; here a continuous column (e.g. a gauss similarity) would
+    make unique-vector count ~ pair count and the collect would OOM the
+    driver. One cheap approx_count_distinct over the feature struct
+    gates the collect."""
+    est = features.agg(
+        F.approx_count_distinct(F.struct(*cols)).alias("n")
+    ).collect()[0]["n"]
+    if est > max_unique:
+        raise ValueError(
+            f"driver-side fit needs discrete feature vectors: ~{est} unique "
+            f"vectors across {cols} (> {max_unique}). Bin continuous "
+            "similarities (e.g. F.round(col, 2)) before fitting."
         )
 
 
@@ -229,6 +251,7 @@ class NaiveBayesClassifier(BaseClassifier, _NBModel):
         labeled = features.join(
             truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
         ).fillna({"_y": 0})
+        _guard_discrete(features, self._cols)
         grouped = labeled.groupBy(*self._cols, "_y").count().collect()
         if not any(r["_y"] == 1 for r in grouped):
             raise ValueError("training data has zero matches (base.py:916-922)")
@@ -278,6 +301,7 @@ class ECMClassifier(BaseClassifier, _NBModel):
 
     def fit(self, features: DataFrame, truth: DataFrame | None = None):
         self._cols = _feature_cols(features)
+        _guard_discrete(features, self._cols)
         grouped = features.groupBy(*self._cols).count().collect()
         X_unique = np.array([[float(r[c]) for c in self._cols] for r in grouped])
         freq = np.array([float(r["count"]) for r in grouped])
@@ -420,24 +444,33 @@ class KMeansClassifier(BaseClassifier):
             )
             return self
         centers = np.array([[0.05] * d, [0.95] * d])  # classifiers.py:251-260
-        for _ in range(self.max_iter):
-            assign = features.select(
-                *[F.col(c).cast("double") for c in self._cols],
-                F.when(self._dist2(centers[0]) <= self._dist2(centers[1]), 0)
-                .otherwise(1)
-                .alias("_k"),
-            )
-            rows = assign.groupBy("_k").agg(
-                *[F.avg(c).alias(c) for c in self._cols],
-                F.count("*").alias("_n"),
-            ).collect()
-            new = centers.copy()
-            for r in rows:
-                new[r["_k"]] = [r[c] for c in self._cols]
-            if np.allclose(new, centers, atol=self.tol):
+        # persist the projected features once — the Lloyd loop re-reads
+        # them up to max_iter times and must not re-execute the (often
+        # join-heavy) comparison plan every iteration
+        base = features.select(
+            *[F.col(c).cast("double").alias(c) for c in self._cols]
+        ).persist()
+        try:
+            for _ in range(self.max_iter):
+                assign = base.select(
+                    *self._cols,
+                    F.when(self._dist2(centers[0]) <= self._dist2(centers[1]), 0)
+                    .otherwise(1)
+                    .alias("_k"),
+                )
+                rows = assign.groupBy("_k").agg(
+                    *[F.avg(c).alias(c) for c in self._cols],
+                    F.count("*").alias("_n"),
+                ).collect()
+                new = centers.copy()
+                for r in rows:
+                    new[r["_k"]] = [r[c] for c in self._cols]
+                if np.allclose(new, centers, atol=self.tol):
+                    centers = new
+                    break
                 centers = new
-                break
-            centers = new
+        finally:
+            base.unpersist()
         self._centers = centers
         self.match_cluster_center = centers[1]
         self.nonmatch_cluster_center = centers[0]

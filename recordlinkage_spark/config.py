@@ -28,8 +28,9 @@ class EngineConfig:
     shingle_size: int = 3        # word n-gram size for shingling
     char_shingles: bool = False  # char n-grams instead of word n-grams
     # Cap on LSH bucket size: webtext boilerplate produces mega-buckets that
-    # would explode quadratically; buckets above the cap are truncated and
-    # the truncation is logged to the metrics table (SURVEY.md §4.1).
+    # would explode quadratically; buckets above the cap are DROPPED by the
+    # streaming pair expander, and the pipeline counts drops via a Spark
+    # accumulator into its metrics list (SURVEY.md §4.1 skew observability).
     max_bucket_size: int = 2000
 
     # --- SimHash ----------------------------------------------------------

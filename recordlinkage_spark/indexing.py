@@ -394,8 +394,33 @@ class Random(BaseIndexAlgorithm):
         return np.asarray(out, dtype=np.int64)
 
     def _positions(self, df: DataFrame, id_col: str) -> DataFrame:
-        return df.select(id_col).withColumn(
-            "_pos", F.row_number().over(Window.orderBy(id_col)) - 1
+        """Deterministic bijection id -> [0, n) with NO single-partition
+        sort: hash-bucket each id, rank within its bucket (a partitioned
+        window — every bucket sorts independently), add the bucket's
+        cumulative offset (tiny collected count table, broadcast back).
+        Cross-bucket order is irrelevant: a uniform draw over positions
+        maps to a uniform draw over ids under ANY fixed bijection, and
+        the bijection is deterministic (hash + unique-id rank), so seeded
+        draws stay reproducible."""
+        spark = df.sparkSession
+        n_b = spark.sparkContext.defaultParallelism * 4
+        ids = df.select(id_col).withColumn(
+            "_pid", F.pmod(F.hash(F.col(id_col)), F.lit(n_b))
+        )
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in ids.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offs, acc = [], 0
+        for pid in range(n_b):
+            offs.append((pid, acc))
+            acc += counts.get(pid, 0)
+        off_df = spark.createDataFrame(offs, "_pid int, _off long")
+        w = Window.partitionBy("_pid").orderBy(id_col)
+        return (
+            ids.join(F.broadcast(off_df), "_pid")
+            .withColumn("_pos", F.col("_off") + F.row_number().over(w) - 1)
+            .select(id_col, "_pos")
         )
 
     def _link_index(self, df_a: DataFrame, df_b: DataFrame, id_col: str) -> DataFrame:
@@ -405,11 +430,15 @@ class Random(BaseIndexAlgorithm):
         code_df = spark.createDataFrame(
             [(int(c // n_b), int(c % n_b)) for c in codes], "pos_1 long, pos_2 long"
         )
+        # broadcast the SMALL side (the code list, ~n rows) against the
+        # full positions tables; the second join broadcasts the ~n-row
+        # intermediate — the records tables are never broadcast
         pa = self._positions(df_a, id_col).withColumnRenamed(id_col, "id_1")
         pb = self._positions(df_b, id_col).withColumnRenamed(id_col, "id_2")
+        j1 = pa.withColumnRenamed("_pos", "pos_1").join(F.broadcast(code_df), "pos_1")
         return (
-            code_df.join(F.broadcast(pa).withColumnRenamed("_pos", "pos_1"), "pos_1")
-            .join(F.broadcast(pb).withColumnRenamed("_pos", "pos_2"), "pos_2")
+            pb.withColumnRenamed("_pos", "pos_2")
+            .join(F.broadcast(j1), "pos_2")
             .select("id_1", "id_2")
         )
 
@@ -424,10 +453,8 @@ class Random(BaseIndexAlgorithm):
         pos = self._positions(df_a, id_col)
         p1 = pos.withColumnRenamed(id_col, "_ida").withColumnRenamed("_pos", "pos_1")
         p2 = pos.withColumnRenamed(id_col, "_idb").withColumnRenamed("_pos", "pos_2")
-        joined = (
-            code_df.join(F.broadcast(p1), "pos_1")
-            .join(F.broadcast(p2), "pos_2")
-        )
+        j1 = p1.join(F.broadcast(code_df), "pos_1")
+        joined = p2.join(F.broadcast(j1), "pos_2")
         # canonical id_1 > id_2 regardless of positional orientation
         return joined.select(
             F.greatest("_ida", "_idb").alias("id_1"),

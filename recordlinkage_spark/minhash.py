@@ -153,6 +153,10 @@ def make_text_band_udf(
     def batch(texts: pd.Series) -> pd.Series:
         np.seterr(over="ignore")
         flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        # zero-token docs (empty/whitespace-only) are dropped like nulls:
+        # they would otherwise all share gram [0] -> one global bucket of
+        # trivially-"identical" docs (ADVICE r01)
+        isna = isna | (lengths == 0)
         grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
@@ -188,6 +192,7 @@ def make_signature_udf(
     def batch(texts: pd.Series) -> pd.DataFrame:
         np.seterr(over="ignore")
         flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        isna = isna | (lengths == 0)  # drop empty docs like nulls (ADVICE r01)
         grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
@@ -227,6 +232,7 @@ def make_shingle_array_udf(shingle_size: int):
     def batch(texts: pd.Series) -> pd.Series:
         np.seterr(over="ignore")
         flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        isna = isna | (lengths == 0)  # drop empty docs like nulls (ADVICE r01)
         grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
         grams, counts = textfns.distinct_per_doc_np(grams, counts)
         return textfns.segments_to_series(grams, counts, isna)
@@ -263,12 +269,17 @@ def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
     return np.maximum(x, y), np.minimum(x, y)
 
 
-def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id", "band_hash")):
+def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id", "band_hash"),
+                               dropped_acc=None):
     """mapInPandas function over (id, *key_cols) rows that are
     hash-partitioned AND sorted by ``key_cols``: emits in-bucket pairs.
     Streams Arrow batches with a carry-over for the bucket that spans a
     batch boundary; a bucket that grows past ``cap`` rows is dropped
-    immediately (bounded memory under mega-bucket skew)."""
+    immediately (bounded memory under mega-bucket skew).
+
+    ``dropped_acc``: optional Spark accumulator incremented once per
+    dropped oversize bucket — skew observability for the metrics table
+    (approximate under task retries, like all accumulators)."""
 
     def expand(batches):
         carry: pd.DataFrame | None = None
@@ -299,6 +310,8 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
                 if len(carry) > cap:  # oversize bucket: poison + drop now
                     drop_key = tuple(kv[last_start] for kv in keys)
                     carry = None
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
                 pdf = pdf.iloc[:last_start]
                 if last_start == 0:
                     return None
@@ -306,6 +319,10 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
             starts = np.concatenate(([0], change))
             sizes = np.diff(np.concatenate((starts, [len(pdf)])))
             ok = (sizes >= 2) & (sizes <= cap)
+            if dropped_acc is not None:
+                n_over = int((sizes > cap).sum())
+                if n_over:
+                    dropped_acc.add(n_over)
             if not ok.any():
                 return None
             ids = pdf["id"].to_numpy()
@@ -334,15 +351,17 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
 
 
 def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
-                 id_type: str) -> DataFrame:
+                 id_type: str, dropped_acc=None) -> DataFrame:
     """(id, *key_cols) -> distinct in-bucket (id_1, id_2) pairs via ONE
     shuffle: repartition on the bucket key, per-partition sort, vectorized
     Arrow pair expansion (see _make_bucket_pair_expander), then distinct.
-    Shared by the MinHash/LSH and winnowing-fingerprint passes."""
+    Shared by the MinHash/LSH, SimHash, winnowing-fingerprint and
+    embedding-LSH passes. Pass a Spark accumulator as ``dropped_acc`` to
+    count dropped oversize buckets (skew observability)."""
     spark = rows.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     grouped = rows.repartition(n_part, *key_cols).sortWithinPartitions(*key_cols)
-    expand = _make_bucket_pair_expander(cap, tuple(key_cols))
+    expand = _make_bucket_pair_expander(cap, tuple(key_cols), dropped_acc)
     pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
     return pairs.dropDuplicates(["id_1", "id_2"])
 
@@ -369,7 +388,11 @@ def exact_jaccard(
     full corpus scale) the classic two shuffled joins run instead; pass
     ``broadcast_pairs`` explicitly to skip the count-based heuristic."""
     if broadcast_pairs is None:
-        cands = cands.persist()
+        # one extra count job over cands; callers that already know the
+        # pair count (the pipeline materializes candidates first) should
+        # pass broadcast_pairs explicitly. No persist here: caching cands
+        # across the lazy downstream plan would leak partitions in
+        # long-lived sessions (ADVICE r01).
         broadcast_pairs = cands.count() <= 2_000_000
     left = sh.withColumnRenamed("id", "id_1").withColumnRenamed("_sh", "_sh1")
     right = sh.withColumnRenamed("id", "id_2").withColumnRenamed("_sh", "_sh2")
@@ -427,7 +450,9 @@ class MinHashLSH:
         return df.withColumn(out, udf(F.col(text_col)))
 
     def bands_table(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, band_id, band_hash) — one row per non-null doc per band.
+        """(id, band_id, band_hash) — one row per non-null, non-empty doc
+        per band (zero-token docs are excluded from all dedup signatures,
+        like nulls).
 
         Repartitions the input when it arrives in fewer partitions than the
         cluster has parallelism (a single small parquet file otherwise pins

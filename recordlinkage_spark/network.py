@@ -57,30 +57,52 @@ class OneToOneLinking:
         seq order, keep a pair iff its id_1 is unseen AMONG id_1s and its
         id_2 unseen among id_2s — the reference tracks the two levels in
         SEPARATE sets (set_a/set_b, network.py:40-47), so one record may
-        appear once on each side."""
+        appear once on each side.
+
+        Vectorized as the equivalent wave fixpoint (see class docstring):
+        each round accepts every still-alive pair that is min-seq on both
+        its endpoints (two np.minimum.at scatters), kills conflicting
+        pairs, repeats — no per-row Python even at the 5M-pair threshold.
+        The explicit schema keeps both paths type-identical."""
+        import numpy as np
+
         spark = pairs.sparkSession
-        pdf = pairs.select("id_1", "id_2", order_col).toPandas()
-        pdf = pdf.sort_values(order_col, kind="stable")
-        seen_a: set = set()
-        seen_b: set = set()
-        keep = []
-        for t in pdf.itertuples(index=False):
-            a, b = t[0], t[1]
-            if a not in seen_a and b not in seen_b:
-                seen_a.add(a)
-                seen_b.add(b)
-                keep.append(True)
-            else:
-                keep.append(False)
-        out = pdf[keep]
-        return spark.createDataFrame(out) if len(out) else spark.createDataFrame(
-            [], pairs.select("id_1", "id_2", order_col).schema
-        )
+        sel = pairs.select("id_1", "id_2", order_col)
+        pdf = sel.toPandas()
+        n = len(pdf)
+        if n == 0:
+            return spark.createDataFrame([], sel.schema)
+        ia = pdf["id_1"].factorize()[0]
+        ib = pdf["id_2"].factorize()[0]
+        # rank-encode seq (stable) so the wave key is a dense int64
+        order = np.argsort(pdf[order_col].to_numpy(), kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        na, nb = int(ia.max()) + 1, int(ib.max()) + 1
+        alive = np.ones(n, dtype=bool)
+        keep = np.zeros(n, dtype=bool)
+        while alive.any():
+            ma = np.full(na, n, dtype=np.int64)
+            mb = np.full(nb, n, dtype=np.int64)
+            np.minimum.at(ma, ia[alive], rank[alive])
+            np.minimum.at(mb, ib[alive], rank[alive])
+            win = alive & (rank == ma[ia]) & (rank == mb[ib])
+            keep |= win
+            dead_a = np.zeros(na, dtype=bool)
+            dead_b = np.zeros(nb, dtype=bool)
+            dead_a[ia[win]] = True
+            dead_b[ib[win]] = True
+            alive &= ~(dead_a[ia] | dead_b[ib])
+        return spark.createDataFrame(pdf[keep], schema=sel.schema)
 
     def compute(self, pairs: DataFrame, order_col: str = "seq") -> DataFrame:
         spark = pairs.sparkSession
         if self.driver_threshold and pairs.count() <= self.driver_threshold:
             return self._compute_driver(pairs, order_col)
+        # Hybrid: the distributed wave loop needs O(wavefront) rounds of
+        # 4-5 jobs each and most rounds happen in the TAIL where remaining
+        # is tiny — so run distributed waves only while remaining exceeds
+        # the driver threshold, then finish the tail exactly on the driver.
         remaining = pairs.select("id_1", "id_2", order_col).localCheckpoint()
         accepted = None
         while True:
@@ -103,7 +125,12 @@ class OneToOneLinking:
                 .select("id_1", "id_2", order_col)
                 .localCheckpoint()
             )
-            if remaining.isEmpty():
+            n_rem = remaining.count()
+            if n_rem == 0:
+                break
+            if self.driver_threshold and n_rem <= self.driver_threshold:
+                tail = self._compute_driver(remaining, order_col)
+                accepted = accepted.unionByName(tail)
                 break
         if accepted is None:
             return spark.createDataFrame([], pairs.select("id_1", "id_2", order_col).schema)
@@ -155,6 +182,7 @@ class ConnectedComponents:
             "cluster_id", F.col("id")
         )
         labels = checkpoint(labels)
+        converged = False
         for _ in range(self.max_iter):
             # candidate label for each node: min over neighbors' labels
             neighbor_min = (
@@ -163,25 +191,42 @@ class ConnectedComponents:
                 .agg(F.min("cluster_id").alias("nbr_min"))
                 .withColumnRenamed("src", "id")
             )
-            new_labels = (
-                labels.join(neighbor_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                    ).alias("cluster_id"),
-                    (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias(
-                        "_changed"
-                    ),
-                )
+            propagated = labels.join(neighbor_min, "id", "left").select(
+                "id",
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            # pointer jumping: follow the label chain one hop per iteration
+            # (label <- label-of-label), so label distance to the component
+            # min shrinks geometrically — O(log diameter) rounds instead of
+            # the O(diameter) of plain propagation. Labels are always ids
+            # of nodes in the same component, so the self-join always hits.
+            ptr = propagated.select(
+                F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_jump")
+            )
+            new_labels = propagated.join(ptr, "cluster_id").select(
+                "id",
+                "_old",
+                F.least(F.col("cluster_id"), F.col("_jump")).alias("cluster_id"),
             )
             new_labels = checkpoint(new_labels)
-            changed = new_labels.filter("_changed").limit(1).count()
-            labels = new_labels.drop("_changed")
+            changed = (
+                new_labels.filter(F.col("cluster_id") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.drop("_old")
             if changed == 0:
+                converged = True
                 break
-        # one more closure pass: propagate label -> label (pointer jumping)
-        # ensures transitive min even on long paths within max_iter budget
+        if not converged:
+            raise RuntimeError(
+                f"ConnectedComponents did not converge in {self.max_iter} "
+                "iterations — raise max_iter (rounds grow ~log(diameter) "
+                "with pointer jumping; this graph is pathological)"
+            )
         return labels
 
     def _compute_driver(self, pairs: DataFrame) -> DataFrame:

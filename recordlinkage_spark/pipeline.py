@@ -124,6 +124,11 @@ class DedupPipeline:
 
         signatures = self._stage(spark, "signatures", build_signatures)
 
+        # dropped-bucket accumulators: the streaming pair expander drops
+        # buckets over the cap; the counts land in the metrics list so
+        # skew/truncation stays observable (north_rule)
+        cand_dropped = spark.sparkContext.accumulator(0)
+
         def build_candidates() -> DataFrame:
             # band hashes are band-index-salted (minhash._bands_from_segments),
             # so the bucket key is the hash alone
@@ -131,20 +136,29 @@ class DedupPipeline:
                 "id", F.explode("bands").alias("band_hash")
             )
             return bucket_pairs(
-                band_rows, ["band_hash"], cfg.max_bucket_size, id_type
+                band_rows, ["band_hash"], cfg.max_bucket_size, id_type,
+                dropped_acc=cand_dropped,
             )
 
+        ran = not (self.work_dir and "candidates" in self._manifest)
         candidates = self._stage(spark, "candidates", build_candidates)
+        if ran:  # resumed stages never ran the expander -> no drop count
+            self.metrics.append(
+                {"stage": "candidates", "dropped_buckets": cand_dropped.value}
+            )
 
         # verify the LSH candidates with exact Jaccard on shingle-hash sets
         # (JVM array_intersect/union), threshold filter. candidates is
-        # already materialized by its stage, so the broadcast-vs-shuffle
-        # heuristic's count() is free.
+        # already materialized by its stage, so its count is cheap — pass
+        # the broadcast decision explicitly instead of letting
+        # exact_jaccard run its own heuristic job.
+        n_cand = candidates.count()
         verified = self._stage(
             spark, "verified",
             lambda: exact_jaccard(
                 sh=signatures.select("id", F.col("sh").alias("_sh")),
                 cands=candidates, threshold=self.jaccard_threshold,
+                broadcast_pairs=n_cand <= 2_000_000,
             ),
         )
 
@@ -152,13 +166,21 @@ class DedupPipeline:
             # substring dups have LOW global Jaccard by construction, so
             # they bypass the Jaccard gate: the winnowing fingerprint is a
             # deterministic witness of a shared >=span+window-1-token run.
+            sub_dropped = spark.sparkContext.accumulator(0)
+
             def build_sub_pairs() -> DataFrame:
                 fp_rows = signatures.select("id", F.explode("fps").alias("fp"))
                 return bucket_pairs(
-                    fp_rows, ["fp"], cfg.max_bucket_size, id_type
+                    fp_rows, ["fp"], cfg.max_bucket_size, id_type,
+                    dropped_acc=sub_dropped,
                 ).withColumn("jaccard", F.lit(None).cast("double"))
 
+            ran = not (self.work_dir and "substring_pairs" in self._manifest)
             sub_pairs = self._stage(spark, "substring_pairs", build_sub_pairs)
+            if ran:
+                self.metrics.append(
+                    {"stage": "substring_pairs", "dropped_buckets": sub_dropped.value}
+                )
             matches = self._stage(
                 spark, "matches",
                 lambda: verified.unionByName(sub_pairs).dropDuplicates(["id_1", "id_2"]),

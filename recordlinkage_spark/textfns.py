@@ -107,6 +107,15 @@ def flat_token_hashes_np(texts: pd.Series):
     data = np.frombuffer(data_buf, dtype=np.uint8, count=int(offs[-1] - base),
                          offset=int(base))
     offs = (offs - base).astype(np.int64)
+    # Arrow permits a null slot to carry a non-empty byte span (sliced or
+    # externally-built arrays). Our segment math assumes null => empty
+    # span; a violation would silently misalign every later doc's hash
+    # segment, so fail loud instead. (pa.Array.from_pandas never produces
+    # such spans today.)
+    if arr.null_count and (offs[1:][isna] != offs[:-1][isna]).any():
+        raise ValueError(
+            "null text slots with non-empty byte spans are not supported"
+        )
     ndocs = len(arr)
     N = len(data)
     if N == 0:

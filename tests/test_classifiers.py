@@ -150,3 +150,30 @@ def test_supervised_requires_matches(spark, vectors):
     empty_truth = spark.createDataFrame([], "id_1 long, id_2 long")
     with pytest.raises(ValueError, match="zero matches"):
         NaiveBayesClassifier().fit(features, empty_truth)
+
+
+def test_continuous_features_fail_fast(spark):
+    """Driver-side fits must refuse continuous feature columns instead of
+    collecting ~n_pairs unique vectors (classifiers._guard_discrete)."""
+    import pandas as pd
+    from recordlinkage_spark.classifiers import ECMClassifier
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "id_1": np.arange(n),
+            "id_2": np.arange(n) + n,
+            "f1": rng.uniform(size=n),  # continuous -> ~n unique vectors
+            "f2": (rng.uniform(size=n) > 0.5).astype(float),
+        }
+    )
+    feats = spark.createDataFrame(pdf)
+    # the fit path calls _guard_discrete before the collect; drive the
+    # guard at a low threshold to assert it fires on continuous columns
+    from recordlinkage_spark.classifiers import _guard_discrete
+
+    with pytest.raises(ValueError, match="discrete feature vectors"):
+        _guard_discrete(feats, ["f1", "f2"], max_unique=1000)
+    # discrete columns pass
+    _guard_discrete(feats.select("id_1", "id_2", "f2"), ["f2"], max_unique=1000)

@@ -90,6 +90,48 @@ def test_connected_components_driver_vs_loop_equivalence(spark):
     }
 
 
+def test_connected_components_long_path_pointer_jumping(spark):
+    """Path of length 250 (diameter 250 > max_iter 50): converges only
+    because each iteration also pointer-jumps (O(log d) rounds)."""
+    n = 250
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_1 long, id_2 long"
+    )
+    out = ConnectedComponents(max_iter=50, driver_threshold=0).compute(pairs)
+    comp = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_1 long, id_2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ConnectedComponents(max_iter=2, driver_threshold=0).compute(pairs)
+
+
+def test_one_to_one_hybrid_tail_switch(spark):
+    """Wave loop that hands the small tail to the driver path must equal
+    the pure driver result."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for s in range(300):
+        a, b = rng.randint(0, 80), rng.randint(0, 80)
+        if a != b:
+            rows.append((a, b, s))
+    pairs = spark.createDataFrame(rows, "id_1 long, id_2 long, seq long")
+    fast = OneToOneLinking().compute(pairs)
+    # threshold below the input size -> at least one distributed wave,
+    # then the driver finishes the tail
+    hybrid = OneToOneLinking(driver_threshold=40).compute(pairs)
+    assert {(r["id_1"], r["id_2"]) for r in fast.collect()} == {
+        (r["id_1"], r["id_2"]) for r in hybrid.collect()
+    }
+
+
 def test_one_to_one_driver_vs_wave_equivalence(spark):
     """Driver sequential greedy == distributed wave fixpoint on a random
     pair set (both must equal the reference's order-dependent greedy)."""
