@@ -127,6 +127,26 @@ def main() -> None:
     timed("ann_topk",
           lambda: ann.cosine_topk(emb, emb.limit(50), k=10).count())
 
+    # 7. LSH embedding near-dup + its recall vs the exact all-pairs oracle
+    dim = len(emb.select("embedding").first()["embedding"])
+    exact_pairs = {
+        (r["id_1"], r["id_2"])
+        for r in ann.cosine_all_pairs(emb, threshold=0.85, id_col="vec_id").collect()
+    }
+    lsh_result: dict = {}
+
+    def run_lsh_neardup():
+        got = ann.embedding_near_dup_pairs(
+            emb, dim=dim, threshold=0.85, bits=8, tables=8
+        ).collect()
+        lsh_result["pairs"] = {(r["id_1"], r["id_2"]) for r in got}
+
+    timed("embedding_near_dup_lsh", run_lsh_neardup)
+    lsh_recall = (
+        len(lsh_result["pairs"] & exact_pairs) / len(exact_pairs)
+        if exact_pairs else 1.0
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "dedup_bench_total",
@@ -135,6 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_dedup": round(n_docs / timings["dedup_pipeline"], 1),
+        "lsh_neardup_recall": round(lsh_recall, 4),
         "cpus": cpus,
         "task_slots": slots,
     }))

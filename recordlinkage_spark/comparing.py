@@ -260,16 +260,32 @@ class DateCompare(BaseCompareFeature):
 class Variable(BaseCompareFeature):
     """Pass a raw column through as a feature (compare.py:427-504).
 
-    side: 'left', 'right' — which frame's column to emit.
+    side: 'left', 'right', or 'both'. The reference's two-sided Variable
+    emits a tuple of (left, right) columns (compare.py:449-460); here
+    ``side='both'`` is expanded by Compare.add into two features labeled
+    ``<label>_a`` / ``<label>_b`` (VariableA/B equivalents).
     """
 
     def __init__(self, on, side="left", missing_value=0.0, label=None):
-        if side == "left":
+        if side == "both":
+            super().__init__(on, on, label)
+        elif side == "left":
             super().__init__(on, [], label)
         else:
             super().__init__([], on, label)
         self.side = side
         self.missing_value = missing_value
+
+    def split_both(self) -> list["Variable"]:
+        """side='both' -> the [left, right] single-side features."""
+        lab = self.label
+        on = self.left_on
+        return [
+            Variable(on, "left", self.missing_value,
+                     None if lab is None else f"{lab}_a"),
+            Variable(on, "right", self.missing_value,
+                     None if lab is None else f"{lab}_b"),
+        ]
 
     def build(self) -> Column:
         col = self._l() if self.side == "left" else self._r()
@@ -365,6 +381,9 @@ class Compare:
         self.features: list[BaseCompareFeature] = list(features or [])
 
     def add(self, feature: BaseCompareFeature) -> "Compare":
+        if isinstance(feature, Variable) and feature.side == "both":
+            self.features.extend(feature.split_both())
+            return self
         self.features.append(feature)
         return self
 

@@ -42,6 +42,15 @@ class EngineConfig:
     span_tokens: int = 32        # fingerprint window length (tokens)
     winnow_window: int = 19      # winnowing window; guarantees spans >= 32+19-1=50
 
+    # --- stage tables (checkpoint/resume) -----------------------------------
+    # "parquet" (tested default in this runtime — no catalog jars) or
+    # "iceberg". With "iceberg" the pipeline writes each stage via
+    # ``df.writeTo(<namespace>.<stage>)`` and records the committed
+    # snapshot id in the manifest, so resume pins to a snapshot rather
+    # than a directory. See DedupPipeline._write_stage for the seam.
+    stage_format: str = os.environ.get("SPARK_GRAFT_STAGE_FORMAT", "parquet")
+    iceberg_namespace: str = os.environ.get("SPARK_GRAFT_ICEBERG_NS", "dedup")
+
     # --- shuffle / skew -----------------------------------------------------
     shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     salt_buckets: int = 16       # salting factor for hot band keys

@@ -496,16 +496,32 @@ class Index:
         df_b: DataFrame | None = None,
         id_col: str = "id",
         verify_unique: bool = False,
+        log_stats: bool = False,
     ) -> DataFrame:
+        """Union of all passes. With ``log_stats=True``, records per-pass
+        pair counts + reduction ratio vs the full index into
+        ``self.pass_stats`` (reference base.py:127-159 logs the same) —
+        opt-in because each count is an extra Spark job."""
         if not self.algorithms:
             raise ValueError("call .add()/.block()/... before .index()")
         if verify_unique:
             _check_unique_ids(df_a, id_col)
             if df_b is not None:
                 _check_unique_ids(df_b, id_col)
+        self.pass_stats: list[dict] = []
+        if log_stats:
+            n_a = df_a.count()
+            n_full = full_index_size(n_a, None if df_b is None else df_b.count())
         out = None
         for alg in self.algorithms:
             pairs = alg.index(df_a, df_b, id_col)
+            if log_stats:
+                n = pairs.count()
+                self.pass_stats.append({
+                    "pass": type(alg).__name__,
+                    "pairs": n,
+                    "reduction_ratio": 1.0 - n / n_full if n_full else 0.0,
+                })
             out = pairs if out is None else out.unionByName(pairs)
         if len(self.algorithms) > 1:
             out = out.dropDuplicates(["id_1", "id_2"])

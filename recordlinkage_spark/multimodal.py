@@ -84,15 +84,27 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "frame_no": [], "payload": []}
-            for _, r in pdf.iterrows():
-                payload = r["payload"] or b""
-                chunks = [payload[i : i + 64] for i in range(0, len(payload), 64)]
-                for fn, ch in enumerate(chunks[::every_n]):
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["frame_no"].append(fn * every_n)
-                    rows["payload"].append(ch)
-            yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            # vectorized fan-out: frame counts + offsets in numpy, one
+            # flat slice pass for the payload chunks (no iterrows)
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            n_chunks = np.array([(len(p) + 63) // 64 for p in payloads],
+                                dtype=np.int64)
+            n_frames = -(-n_chunks // every_n)  # ceil-div
+            total = int(n_frames.sum())
+            if total == 0:
+                continue
+            doc_idx = np.repeat(np.arange(len(payloads)), n_frames)
+            starts = np.cumsum(n_frames) - n_frames
+            frame_no = (np.arange(total) - starts[doc_idx]) * every_n
+            off = frame_no * 64
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                "frame_no": frame_no.astype("int32"),
+                "payload": [payloads[d][o:o + 64]
+                            for d, o in zip(doc_idx, off)],
+            })
 
     return media.mapInPandas(process, "doc_id long, frame_no int, payload binary")
 

@@ -60,21 +60,55 @@ class DedupPipeline:
             self.work_dir.mkdir(parents=True, exist_ok=True)
             self._manifest_path.write_text(json.dumps(self._manifest, indent=2))
 
+    # --- stage-table format seam (north_rule: Iceberg tables) -------------
+    # The tested default in this runtime is parquet (no catalog jars are
+    # installed). With EngineConfig.stage_format = "iceberg" the same
+    # pipeline writes every stage via the DataFrameWriterV2 API to
+    # <iceberg_namespace>.<stage> and pins the committed snapshot id in
+    # the manifest, so resume re-reads an immutable snapshot (not a
+    # directory that a concurrent writer could clobber). The swap is
+    # confined to _write_stage/_read_stage.
+    def _write_stage(self, spark: SparkSession, name: str, df: DataFrame):
+        """Materialize one stage table; returns (reader, location, snapshot_id)."""
+        if self.config.stage_format == "iceberg":
+            ident = f"{self.config.iceberg_namespace}.{name}"
+            df.writeTo(ident).createOrReplace()
+            snap = (
+                spark.sql(f"SELECT snapshot_id FROM {ident}.snapshots "
+                          "ORDER BY committed_at DESC LIMIT 1")
+                .collect()[0]["snapshot_id"]
+            )
+            return spark.read.table(ident), ident, int(snap)
+        path = str(self.work_dir / name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), path, None
+
+    def _read_stage(self, spark: SparkSession, name: str) -> DataFrame:
+        entry = self._manifest[name]
+        if self.config.stage_format == "iceberg":
+            reader = spark.read
+            if entry.get("snapshot_id") is not None:
+                reader = reader.option("snapshot-id", str(entry["snapshot_id"]))
+            return reader.table(entry["path"])
+        return spark.read.parquet(entry["path"])
+
     def _stage(self, spark: SparkSession, name: str, build) -> DataFrame:
         """Run-or-resume one stage. With a work_dir, the stage materializes
-        to parquet (snapshot) and restart reads it back; without one it
+        to a stage table (parquet default / Iceberg snapshot, see
+        _write_stage) and restart reads it back; without one it
         localCheckpoints (test mode)."""
         if self.work_dir:
-            path = str(self.work_dir / name)
             if name in self._manifest:
-                return spark.read.parquet(path)
+                return self._read_stage(spark, name)
             t0 = time.time()
             df = build()
-            df.write.mode("overwrite").parquet(path)
-            out = spark.read.parquet(path)
+            out, location, snap = self._write_stage(spark, name, df)
             n = out.count()
             self._record(name, n, time.time() - t0, out)
-            self._manifest[name] = {"path": path, "rows": n}
+            self._manifest[name] = {
+                "path": location, "rows": n,
+                "format": self.config.stage_format, "snapshot_id": snap,
+            }
             self._save_manifest()
             return out
         t0 = time.time()

@@ -219,3 +219,21 @@ def test_lcs_goldens():
     # 'dice': 2*lcs/(len1+len2)
     assert sm.lcs_sim("abcdxx", "abcdyy", norm="dice") == pytest.approx(2 * 4 / 12)
     assert sm.lcs_sim("ab", "cd") == 0.0
+
+
+def test_variable_both_sides(spark):
+    """side='both' emits the left AND right values (reference
+    compare.py:449-460 tuple output) as <label>_a / <label>_b."""
+    from recordlinkage_spark.comparing import Compare
+
+    a = spark.createDataFrame([(1, 10.0), (2, None)], "id long, v double")
+    b = spark.createDataFrame([(3, 30.0), (4, 40.0)], "id long, v double")
+    pairs = spark.createDataFrame([(1, 3), (2, 4)], "id_1 long, id_2 long")
+    out = (
+        Compare()
+        .variable("v", side="both", label="val")
+        .compute(pairs, a, b)
+        .collect()
+    )
+    got = {(r["id_1"], r["id_2"]): (r["val_a"], r["val_b"]) for r in out}
+    assert got == {(1, 3): (10.0, 30.0), (2, 4): (0.0, 40.0)}  # null -> 0.0

@@ -126,3 +126,11 @@ def test_pipeline_resume(corpus, tmp_path):
     out2 = p2.run(docs, id_col="url", text_col="text")
     assert out2["clusters"].count() == n1
     assert p2.metrics == []  # everything resumed from the manifest
+    # stage-format seam: manifest entries carry format + snapshot_id
+    # (parquet default -> null snapshot; iceberg would pin one)
+    import json as _json
+
+    mf = _json.loads((tmp_path / "wd" / "manifest.json").read_text())
+    for entry in mf.values():
+        assert entry["format"] == "parquet"
+        assert entry["snapshot_id"] is None

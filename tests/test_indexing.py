@@ -132,3 +132,16 @@ def test_unique_id_verification(spark):
 def test_full_index_size():
     assert full_index_size(100) == 4950
     assert full_index_size(100, 150) == 15000
+
+
+def test_index_pass_stats(idx_frames):
+    a, b = idx_frames
+    idx = Index().block("var_arange").block("var_block10")
+    idx.index(a, b, log_stats=True)
+    stats = idx.pass_stats
+    assert [s["pass"] for s in stats] == ["Block", "Block"]
+    assert stats[0]["pairs"] == 100          # arange blocks: 1 pair per value
+    assert stats[1]["pairs"] == 1000         # block10: 10 per bucket
+    # reduction ratio vs the full link index (100 x 150)
+    n_full = a.count() * b.count()
+    assert abs(stats[0]["reduction_ratio"] - (1 - 100 / n_full)) < 1e-9
