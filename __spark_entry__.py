@@ -437,8 +437,12 @@ def q_logreg_manual(spark, sf):
 
 def q_ecm_params(spark, sf):
     """ECM fit on deterministic binary features; emits recovered FS params.
-    Not SQL-expressible (EM loop) -> rows-only driver check; parameter
-    recovery is pytest-gated (tests/test_classifiers.py)."""
+    Rows-only BY AUDITED CHOICE (r2): the EM loop is recursive-CTE
+    expressible in principle, but its fixpoint is only pinned to ~atol
+    (1e-4) while the output rounds to 1e-6 and emits n_iter — a DuckDB
+    reimplementation can legitimately land on the 6th decimal or one
+    iteration away, turning a correct result into a red hash row.
+    Parameter recovery is pytest-gated (tests/test_classifiers.py)."""
     from recordlinkage_spark.classifiers import ECMClassifier
     from recordlinkage_spark.comparing import Compare
 
@@ -466,8 +470,10 @@ def q_ecm_params(spark, sf):
 
 def q_kmeans_classify(spark, sf):
     """2-cluster KMeans with the reference's fixed 0.05/0.95 init
-    (classifiers.py:251-260) — deterministic Lloyd loop, not
-    SQL-expressible -> rows-only; determinism pytest-gated."""
+    (classifiers.py:251-260). Oracled (r2): the deterministic Lloyd loop
+    over the weighted unique binary feature vectors is a DuckDB recursive
+    CTE; label assignment is robust to float summation-order drift
+    because the features are 0/1 and the centers sit strictly inside."""
     from recordlinkage_spark.classifiers import KMeansClassifier
     from recordlinkage_spark.comparing import Compare
 
@@ -484,8 +490,10 @@ def q_kmeans_classify(spark, sf):
 
 def q_nb_classify(spark, sf):
     """Supervised Bernoulli NB over label-binarized features
-    (nb_sklearn.py:268-430). Truth = same-mktsegment pairs. EM-free but
-    the binarized JLL scoring is driver-fit -> rows-only."""
+    (nb_sklearn.py:268-430). Truth = same-mktsegment pairs. Oracled (r2):
+    the fit is closed-form in the class/feature-value counts, so the
+    label = argmax-JLL decision is one SQL expression over one aggregate
+    row; the JLL margin is O(1) so 1e-15 float drift cannot flip it."""
     from recordlinkage_spark.classifiers import NaiveBayesClassifier
     from recordlinkage_spark.comparing import Compare
 

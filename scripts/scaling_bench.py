@@ -73,7 +73,10 @@ def child(cpus: int, n_docs: int) -> None:
         "secs": round(secs, 2),
         "docs_per_sec": round(n_docs / secs, 1),
         "dup_pair_recall": round(rec, 5),
-        "stages": {m["stage"]: m["secs"] for m in pipe.metrics},
+        "stages": {m["stage"]: m["secs"] for m in pipe.metrics if "secs" in m},
+        "dropped_buckets": sum(
+            m.get("dropped_buckets", 0) for m in pipe.metrics
+        ),
     }))
     spark.stop()
 
