@@ -99,6 +99,7 @@ def make_text_simhash_udf(shingle_size: int):
     def batch(texts: pd.Series) -> pd.Series:
         np.seterr(over="ignore")
         flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        isna = isna | (lengths == 0)  # drop empty docs like nulls (ADVICE r01)
         grams, counts = textfns.gram_hashes_np(flat, lengths, shingle_size)
         # distinct matters here (unlike MinHash): repeated shingles must not
         # stack votes, matching Jaccard-on-sets semantics

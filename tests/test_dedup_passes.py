@@ -134,3 +134,22 @@ def test_pipeline_resume(corpus, tmp_path):
     for entry in mf.values():
         assert entry["format"] == "parquet"
         assert entry["snapshot_id"] is None
+
+
+def test_empty_docs_excluded_from_signatures(spark):
+    """Empty/whitespace-only docs must not pair with each other (they'd
+    otherwise share gram [0] and cluster as jaccard-1.0 'duplicates')."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),
+        ("e1", ""), ("e2", "   "), ("e3", None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    lsh = MinHashLSH(num_perm=32, bands=8, rows=4, shingle_size=3)
+    pairs = {(r["id_1"], r["id_2"])
+             for r in lsh.candidate_pairs(docs, "url", "text").collect()}
+    assert pairs == {("b", "a")}
+    sh = SimHash(hamming_k=3, blocks=4, shingle_size=2)
+    spairs = {(r["id_1"], r["id_2"])
+              for r in sh.candidate_pairs(docs, "url", "text").collect()}
+    assert spairs == {("b", "a")}
