@@ -201,7 +201,14 @@ def webtext_corpus_distributed(
 
     Returns (corpus, truth) where truth holds (url_1 > url_2, kind) for the
     direct (dup, original) and (dup, dup) pairs within each cluster.
+
+    The corpus carries the full input_hint shape
+    (url, warc_ts, html binary, text, lang) plus doc_id/_cluster/_dup_kind;
+    dedup jobs read only (id, text), so Parquet column pruning drops the
+    heavy html payload at the scan — the plans prove it.
     """
+    import datetime as _dt
+
     import pandas as pd  # local import for executors
 
     n_orig = max(int(n_docs * (1 - dup_fraction)), 1)
@@ -210,8 +217,8 @@ def webtext_corpus_distributed(
 
     def gen(batches):
         for pdf in batches:
-            rows = {"doc_id": [], "url": [], "text": [], "lang": [], "_cluster": [],
-                    "_dup_kind": []}
+            rows = {"doc_id": [], "url": [], "warc_ts": [], "html": [],
+                    "text": [], "lang": [], "_cluster": [], "_dup_kind": []}
             for doc_id in pdf["id"]:
                 doc_id = int(doc_id)
                 if doc_id < n_orig:
@@ -244,7 +251,15 @@ def webtext_corpus_distributed(
                     url = f"https://mirror{doc_id % 53}.example.org/copy/{doc_id:09d}"
                 rows["doc_id"].append(doc_id)
                 rows["url"].append(url)
-                rows["text"].append(" ".join(toks))
+                text = " ".join(toks)
+                rows["text"].append(text)
+                rows["warc_ts"].append(
+                    _dt.datetime(2024, 1, 1)
+                    + _dt.timedelta(minutes=(doc_id * 37) % (60 * 24 * 30))
+                )
+                rows["html"].append(
+                    f"<html><body><p>{text}</p></body></html>".encode()
+                )
                 rows["lang"].append(LANGS[cluster % len(LANGS)])
                 rows["_cluster"].append(cluster)
                 rows["_dup_kind"].append(kind)
@@ -253,7 +268,8 @@ def webtext_corpus_distributed(
     base = spark.range(n_docs, numPartitions=parts)
     corpus = base.mapInPandas(
         gen,
-        "doc_id long, url string, text string, lang string, _cluster long, _dup_kind string",
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string, _cluster long, _dup_kind string",
     )
     from pyspark.sql import functions as F
 

@@ -11,10 +11,13 @@ scaling_bench.py:
 - ``scan``: page-cache-resident parquet scan + sum(octet_length(text)),
   repeated SCAN_LOOPS times per measurement — pure JVM columnar read,
   zero Python, memory-bandwidth-bound by construction.
-- ``cpu``: the same scan but each row pays a 16-deep SHA-256 chain over
-  its text (~10 KB hashed per ~0.6 KB read) — arithmetic-intensity high
-  enough that memory traffic is negligible; compute-bound by
-  construction.
+- ``cpu``: a fixed pool of Spark tasks each running a cache-resident
+  uint64 multiply-xor loop over a 64 KB array inside mapInPandas —
+  compute-bound by construction (no DRAM traffic, no allocation churn),
+  through the full Spark scheduler/Python-worker machinery. (A first
+  attempt used a JVM sha2-chain expression; its per-row string
+  allocation made it allocation-bandwidth-bound and it scaled as badly
+  as the scan — the kernel must be cache-resident to isolate CPU.)
 
 Usage:
     python scripts/scaling_control.py [n_docs] [repeats] [n_lo] [n_hi]
@@ -32,7 +35,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 DATA = Path("/tmp/scaling_control_data")
 SCAN_LOOPS = 8
-SHA_DEPTH = 16
+CPU_TASKS = 128    # fixed task pool; ~equal work each
+CPU_ITERS = 40000  # mul-xor sweeps of the 64KB array per task-row (~1s)
 
 
 def gen(n_docs: int) -> None:
@@ -59,28 +63,46 @@ def child(mode: str, cpus: int) -> None:
     spark = get_spark(f"control-{mode}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(str(DATA))
-    # warm: one untimed scan primes the page cache + JVM JIT
-    df.agg(F.sum(F.octet_length("text"))).collect()
 
     if mode == "scan":
+        df = spark.read.parquet(str(DATA))
+        # warm: one untimed scan primes the page cache + JVM JIT
+        df.agg(F.sum(F.octet_length("text"))).collect()
         expr = F.sum(F.octet_length("text"))
-    else:  # cpu: 16-deep sha2 chain re-hashing text each step
-        c = F.col("text")
-        for _ in range(SHA_DEPTH):
-            c = F.sha2(F.concat(c, F.col("text")), 256)
-        expr = F.sum(F.octet_length(c))
+        t0 = time.time()
+        for _ in range(SCAN_LOOPS):
+            df.agg(expr).collect()
+        secs = time.time() - t0
+        n = df.count() * SCAN_LOOPS
+    else:
+        # cpu: CPU_TASKS tasks x a cache-resident uint64 mul-xor loop
+        # over a 64KB array (zero DRAM pressure), via mapInPandas
+        import pandas as pd  # noqa: F401
 
-    loops = SCAN_LOOPS if mode == "scan" else 1
-    t0 = time.time()
-    for _ in range(loops):
-        df.agg(expr).collect()
-    secs = time.time() - t0
-    n = df.count()
+        def kernel(batches):
+            import numpy as np
+            x = np.arange(8192, dtype=np.uint64)
+            total = 0
+            for pdf in batches:
+                total += len(pdf)
+                np.seterr(over="ignore")
+                for _ in range(CPU_ITERS * len(pdf)):
+                    x = x * np.uint64(0x9E3779B97F4A7C15) ^ (x >> np.uint64(31))
+            yield __import__("pandas").DataFrame({"n": [int(x[0]) + total]})
+
+        base = spark.range(CPU_TASKS).repartition(CPU_TASKS)
+        # warm the Python workers untimed
+        base.mapInPandas(kernel, "n long").count()
+        t0 = time.time()
+        for _ in range(2):
+            base.mapInPandas(kernel, "n long").count()
+        secs = time.time() - t0
+        n = CPU_TASKS * CPU_ITERS * 2  # "rows" = kernel iterations
+
     print(json.dumps({
-        "mode": mode, "cpus": cpus, "loops": loops,
+        "mode": mode, "cpus": cpus,
         "secs": round(secs, 2),
-        "rows_per_sec": round(n * loops / secs, 1),
+        "rows_per_sec": round(n / secs, 1),
     }))
     spark.stop()
 
