@@ -480,7 +480,8 @@ class MinHashLSH:
             "id", F.posexplode("_bands").alias("band_id", "band_hash")
         )
 
-    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str,
+                        dropped_acc=None) -> DataFrame:
         """Bucket pair generation: ONE shuffle co-locates band rows by
         (band_id, band_hash), a per-partition sort makes buckets contiguous,
         and a vectorized Arrow pass expands in-bucket pairs; then one
@@ -504,7 +505,8 @@ class MinHashLSH:
         # band hashes carry their band index as a salt (see
         # _bands_from_segments), so the bucket key is the hash alone —
         # one long less per shuffled row than keying on (band_id, hash)
-        return bucket_pairs(bands, ["band_hash"], self.max_bucket_size, id_type)
+        return bucket_pairs(bands, ["band_hash"], self.max_bucket_size, id_type,
+                            dropped_acc=dropped_acc)
 
     def verified_pairs(
         self,

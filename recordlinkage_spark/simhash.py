@@ -136,11 +136,13 @@ class SimHash:
             udf(F.col(text_col)).alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
-    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str,
+                        dropped_acc=None) -> DataFrame:
         """Chunk-bucket pair generation via the shared one-shuffle
         repartition+sort+Arrow-expander shape (minhash.bucket_pairs), then
         a Hamming post-filter: the signature table is tiny (one int64 per
-        doc), so the two signature gathers broadcast."""
+        doc), so the two signature gathers broadcast. ``dropped_acc``:
+        optional Spark accumulator counting dropped oversize buckets."""
         from recordlinkage_spark.minhash import bucket_pairs
 
         # persisted: feeds the chunk explode and the hamming gathers
@@ -163,7 +165,8 @@ class SimHash:
         ).select("id", "_c.block_id", "_c.block_val")
         id_type = df.schema[id_col].dataType.simpleString()
         pairs = bucket_pairs(
-            chunks, ["block_id", "block_val"], self.max_bucket_size, id_type
+            chunks, ["block_id", "block_val"], self.max_bucket_size, id_type,
+            dropped_acc=dropped_acc,
         )
         # no broadcast hint: AQE upgrades to broadcast when the materialized
         # signature table is small; at 10^12 docs it is not, and the hint

@@ -147,16 +147,19 @@ class FingerprintSubstring:
         ).filter(F.col("_fps").isNotNull())
         return fp.select("id", F.explode("_fps").alias("fp"))
 
-    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str,
+                        dropped_acc=None) -> DataFrame:
         """One shuffle on the fingerprint key + sorted Arrow pair expansion
         (shared machinery with the LSH pass — see minhash.bucket_pairs);
         oversize fingerprint buckets (ubiquitous boilerplate spans) are
-        dropped streaming, bounding both memory and pair fan-out."""
+        dropped streaming, bounding both memory and pair fan-out.
+        ``dropped_acc``: optional accumulator counting dropped buckets."""
         from recordlinkage_spark.minhash import bucket_pairs
 
         fps = self.fingerprints(df, id_col, text_col)
         id_type = df.schema[id_col].dataType.simpleString()
-        return bucket_pairs(fps, ["fp"], self.max_bucket_size, id_type)
+        return bucket_pairs(fps, ["fp"], self.max_bucket_size, id_type,
+                            dropped_acc=dropped_acc)
 
     def verified_pairs(self, df: DataFrame, id_col: str, text_col: str,
                        min_span: int | None = None) -> DataFrame:

@@ -48,3 +48,30 @@ def test_lsh_topk_recall_vs_exact(vectors):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # near-dup neighbors are nearly collinear -> LSH must find them
     assert len(e & a) >= 4
+
+
+def test_near_dup_bucket_cap_drops_degenerate_bucket(spark):
+    """A degenerate cell (many identical vectors) must be dropped at the
+    bucket cap instead of fanning out quadratically."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v = (rng.normal(size=8)).tolist()
+    rows = [(i, v) for i in range(30)]  # 30 identical vectors -> one bucket
+    w = rng.normal(size=8)
+    rows += [(100, (w / np.linalg.norm(w)).tolist()),
+             (101, ((w + rng.normal(scale=0.01, size=8))).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap below 30: the identical-vector bucket is dropped entirely,
+    # the small near-dup pair (101,100) survives
+    pairs = ann.embedding_near_dup_pairs(
+        df, dim=8, threshold=0.95, bits=6, tables=4, bucket_cap=10
+    )
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert (101, 100) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # without the cap the degenerate bucket pairs up quadratically
+    uncapped = ann.embedding_near_dup_pairs(
+        df, dim=8, threshold=0.95, bits=6, tables=4, bucket_cap=2000
+    ).count()
+    assert uncapped >= 30 * 29 // 2
