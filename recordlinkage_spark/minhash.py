@@ -500,12 +500,21 @@ class MinHashLSH:
         Arrow batch`` rows thanks to the streaming carry-over), so a
         mega-bucket can neither OOM an executor nor emit O(n^2) pairs. AQE
         handles residual moderate skew."""
-        bands = self.bands_table(df, id_col, text_col).select("id", "band_hash")
-        id_type = df.schema[id_col].dataType.simpleString()
         # band hashes carry their band index as a salt (see
-        # _bands_from_segments), so the bucket key is the hash alone —
-        # one long less per shuffled row than keying on (band_id, hash)
-        return bucket_pairs(bands, ["band_hash"], self.max_bucket_size, id_type,
+        # _bands_from_segments), so the bucket key is the hash alone.
+        # The key ships as the TOP 32 BITS cast to int (shiftright(,32) of
+        # a long is always int-representable, ANSI-safe): halves the key
+        # bytes in the one big shuffle. A 32-bit key collision merely
+        # merges two buckets — it can only ADD candidate pairs, which the
+        # exact-Jaccard verify discards; expected merges at 10^9 band rows
+        # are ~1e5 mostly-singleton buckets (birthday bound), <<1% extra
+        # verify work, and the cap-overflow risk from a merge is
+        # negligible because oversize buckets are rare to begin with.
+        bands = self.bands_table(df, id_col, text_col).select(
+            "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+        )
+        id_type = df.schema[id_col].dataType.simpleString()
+        return bucket_pairs(bands, ["band_key"], self.max_bucket_size, id_type,
                             dropped_acc=dropped_acc)
 
     def verified_pairs(

@@ -165,12 +165,17 @@ class DedupPipeline:
 
         def build_candidates() -> DataFrame:
             # band hashes are band-index-salted (minhash._bands_from_segments),
-            # so the bucket key is the hash alone
+            # so the bucket key is the hash alone; ship only its top 32
+            # bits as int — halves the key bytes of the biggest shuffle,
+            # and a key collision only adds candidates the verify stage
+            # discards (see MinHashLSH.candidate_pairs)
             band_rows = signatures.select(
-                "id", F.explode("bands").alias("band_hash")
+                "id", F.explode("bands").alias("_bh")
+            ).select(
+                "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
             )
             return bucket_pairs(
-                band_rows, ["band_hash"], cfg.max_bucket_size, id_type,
+                band_rows, ["band_key"], cfg.max_bucket_size, id_type,
                 dropped_acc=cand_dropped,
             )
 
