@@ -300,7 +300,15 @@ def lsh_topk(
     Corpus buckets larger than ``bucket_cap`` are dropped (anti-join on
     the small hot-bucket list) — a degenerate cell costs recall on
     near-orthogonal neighbors instead of a quadratic fan-out.
+
+    Null vectors are filtered up front on BOTH sides: the hash UDF sends
+    them to bucket 0 in every table, so an unfiltered null query would
+    generate candidate rows whose id is absent from the collected query
+    matrix — np.searchsorted on the missing id then reads a wrong (or
+    out-of-range) query row in the score kernel (ADVICE r2).
     """
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     cb = lsh_buckets(corpus, dim, id_col, vec_col, bits, tables, seed)
     qb = lsh_buckets(queries, dim, id_col, vec_col, bits, tables, seed)
     key = ["table_id", "bucket"]

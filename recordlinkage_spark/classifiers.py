@@ -291,11 +291,17 @@ class ECMClassifier(BaseClassifier, _NBModel):
     the fitted log-probs back as a broadcast join on the feature columns.
     """
 
-    def __init__(self, init: str = "jaro", max_iter: int = 100, atol: float = 1e-4,
-                 random_state=None):
+    def __init__(self, init: str = "jaro", max_iter: int | None = None,
+                 atol: float | None = None, random_state=None, config=None):
+        # EngineConfig.ecm_max_iter / ecm_atol are the defaults (r3 —
+        # previously decorative config knobs); explicit args still win
+        if config is None:
+            from recordlinkage_spark.config import EngineConfig
+
+            config = EngineConfig()
         self.init = init
-        self.max_iter = max_iter
-        self.atol = atol
+        self.max_iter = config.ecm_max_iter if max_iter is None else max_iter
+        self.atol = config.ecm_atol if atol is None else atol
         self.random_state = random_state
         self.n_iter_ = 0
 
@@ -493,11 +499,73 @@ class KMeansClassifier(BaseClassifier):
 
 class SVMClassifier(LogisticRegressionClassifier):
     """Linear max-margin classifier (reference: sklearn LinearSVC,
-    recordlinkage/classifiers.py:476-512). Without sklearn we fit a linear
-    decision boundary by L2-regularized logistic regression on the same
-    sufficient statistics — an equivalent linear separator surface; no
-    probability output in the reference, so ``predict`` drops the score."""
+    recordlinkage/classifiers.py:476-512).
+
+    r3: a real squared-hinge fit (LinearSVC's default loss, L2 penalty,
+    C=1.0) over the SAME weighted unique-vector sufficient statistics as
+    the logreg/NB/ECM drivers — the objective
+
+        0.5·||beta||^2 + C · sum_i w_i · max(0, 1 - y_i·(x_i·beta))^2
+
+    is piecewise quadratic, so a damped Newton on the active set (margin
+    violators) converges in a handful of iterations; like LinearSVC with
+    intercept_scaling=1 the intercept is part of the penalized vector.
+    No probability output in the reference, so ``predict`` drops the
+    score."""
+
+    def __init__(self, C: float = 1.0, max_iter: int = 100):
+        super().__init__(max_iter=max_iter)
+        self.C = float(C)
+
+    def fit(self, features: DataFrame, truth: DataFrame | None = None):
+        if truth is None:
+            raise ValueError("SVMClassifier requires truth pairs to fit")
+        self._cols = _feature_cols(features)
+        labeled = features.join(
+            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
+        ).fillna({"_y": 0})
+        _guard_discrete(features, self._cols)
+        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
+        if not any(r["_y"] == 1 for r in grouped):
+            raise ValueError("training data has zero matches (base.py:916-922)")
+        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
+        y = np.where(np.array([r["_y"] for r in grouped]) == 1, 1.0, -1.0)
+        wts = np.array([float(r["count"]) for r in grouped])
+        Xb = np.hstack([np.ones((len(X), 1)), X])
+        beta = np.zeros(Xb.shape[1])
+        C = self.C
+        obj_prev = np.inf
+        for _ in range(self.max_iter):
+            margin = 1.0 - y * (Xb @ beta)
+            act = margin > 0
+            grad = beta - 2.0 * C * Xb[act].T @ (wts[act] * y[act] * margin[act])
+            H = np.eye(len(beta)) + 2.0 * C * (
+                Xb[act] * wts[act][:, None]
+            ).T @ Xb[act]
+            step = np.linalg.solve(H, grad)
+            # backtracking line search keeps the Newton step monotone
+            # across active-set changes
+            for _bt in range(20):
+                cand = beta - step
+                mc = np.maximum(1.0 - y * (Xb @ cand), 0.0)
+                obj = 0.5 * cand @ cand + C * np.sum(wts * mc * mc)
+                if obj <= obj_prev:
+                    break
+                step *= 0.5
+            beta = cand
+            if abs(obj_prev - obj) < 1e-12 * max(1.0, abs(obj)):
+                obj_prev = obj
+                break
+            obj_prev = obj
+        self.intercept = float(beta[0])
+        self.coefficients = beta[1:]
+        return self
 
     def predict(self, features: DataFrame) -> DataFrame:
-        out = super().predict(features)
-        return out.select(*PAIR, "label")
+        cols = self._cols or _feature_cols(features)
+        if self.coefficients is None:
+            raise ValueError("not fitted")
+        z = F.lit(self.intercept)
+        for c, w in zip(cols, self.coefficients):
+            z = z + F.col(c) * F.lit(float(w))
+        return features.select(*PAIR, (z > 0).cast("int").alias("label"))

@@ -288,6 +288,13 @@ class Variable(BaseCompareFeature):
         ]
 
     def build(self) -> Column:
+        if self.side == "both":
+            # reachable only when a both-sided Variable bypassed the
+            # Compare normalization (e.g. appended to .features directly)
+            raise NotImplementedError(
+                "Variable(side='both') must be expanded via Compare.add/"
+                "Compare(features=...) into its _a/_b single-side features"
+            )
         col = self._l() if self.side == "left" else self._r()
         return F.coalesce(col.cast("double"), F.lit(float(self.missing_value)))
 
@@ -378,7 +385,11 @@ class Compare:
     (recordlinkage/api.py:155-233)."""
 
     def __init__(self, features=None, id_col: str = "id"):
-        self.features: list[BaseCompareFeature] = list(features or [])
+        # route through add() so constructor-passed features get the same
+        # normalization (Variable side='both' expansion) as fluent calls
+        self.features: list[BaseCompareFeature] = []
+        for f in features or []:
+            self.add(f)
 
     def add(self, feature: BaseCompareFeature) -> "Compare":
         if isinstance(feature, Variable) and feature.side == "both":

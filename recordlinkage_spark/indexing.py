@@ -401,9 +401,13 @@ class Random(BaseIndexAlgorithm):
         Cross-bucket order is irrelevant: a uniform draw over positions
         maps to a uniform draw over ids under ANY fixed bijection, and
         the bijection is deterministic (hash + unique-id rank), so seeded
-        draws stay reproducible."""
+        draws stay reproducible. The bucket count is a CONSTANT, not a
+        function of cluster parallelism — otherwise the id->position
+        bijection (and every seeded draw) would change with executor
+        count (ADVICE r2); 256 buckets keeps the per-bucket window sorts
+        partitioned on any cluster size."""
         spark = df.sparkSession
-        n_b = spark.sparkContext.defaultParallelism * 4
+        n_b = 256
         ids = df.select(id_col).withColumn(
             "_pid", F.pmod(F.hash(F.col(id_col)), F.lit(n_b))
         )

@@ -506,10 +506,16 @@ class MinHashLSH:
         # a long is always int-representable, ANSI-safe): halves the key
         # bytes in the one big shuffle. A 32-bit key collision merely
         # merges two buckets — it can only ADD candidate pairs, which the
-        # exact-Jaccard verify discards; expected merges at 10^9 band rows
-        # are ~1e5 mostly-singleton buckets (birthday bound), <<1% extra
-        # verify work, and the cap-overflow risk from a merge is
-        # negligible because oversize buckets are rare to begin with.
+        # exact-Jaccard verify discards. Cost estimate (corrected r3): at
+        # n = 1e9 band rows the expected number of colliding ROW PAIRS is
+        # ~n^2/2^33 ~ 1e8, i.e. ~1-10% extra verify work depending on
+        # bucket-size distribution — bounded and verify-safe, not free.
+        # Recall tradeoff: a merge that pushes a combined bucket over
+        # max_bucket_size drops ALL of that bucket's true pairs; this
+        # needs a partner bucket of size > cap/2 (rare by construction —
+        # oversize buckets are boilerplate, already dropped) AND a 1/2^32
+        # key collision, so the expected recall loss is O(hot_buckets /
+        # 2^32) per band — negligible next to the LSH miss rate itself.
         bands = self.bands_table(df, id_col, text_col).select(
             "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
         )

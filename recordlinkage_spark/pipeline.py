@@ -124,6 +124,24 @@ class DedupPipeline:
             ).withColumn("stage", F.lit(stage))
             lineage.write.mode("append").parquet(str(self.work_dir / "_lineage"))
 
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """The run's per-stage metrics (rows, seconds, dropped-bucket
+        counts) as ONE tidy DataFrame — the queryable surface for the
+        north_rule's metrics-table requirement (r3; previously the list
+        had to be picked apart by hand)."""
+        rows = [
+            (
+                m.get("stage"),
+                m.get("rows"),
+                m.get("secs"),
+                m.get("dropped_buckets"),
+            )
+            for m in self.metrics
+        ]
+        return spark.createDataFrame(
+            rows, "stage string, rows long, secs double, dropped_buckets long"
+        )
+
     # --- the pipeline ---------------------------------------------------------
     def run(
         self,

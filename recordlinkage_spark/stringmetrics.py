@@ -549,8 +549,180 @@ def _pairwise(kernel):
     return batch
 
 
-jaro_batch = _pairwise(jaro)
-jaro_winkler_batch = _pairwise(jaro_winkler)
+# ---------------------------------------------------------------------------
+# batch-vectorized jaro / jaro-winkler / damerau (r3)
+#
+# The scalar kernels above stay as the differential-test oracles; the
+# batch functions below vectorize the same DPs ACROSS the Arrow batch
+# dimension, the way levenshtein_distance vectorizes across DP rows:
+# every step is one numpy op over a (batch, chars) matrix instead of a
+# per-character Python loop per pair. Pairs with strings longer than the
+# vectorization cutoffs fall back to the scalar kernels (memory bound on
+# the padded matrices), so behavior is identical at every length.
+# ---------------------------------------------------------------------------
+
+_VEC_MAX_LEN_JARO = 512  # per-step temporaries are (batch, L) bools
+_VEC_MAX_LEN_DL = 64     # DP cube is (chunk, L1+2, L2+2) int32
+_DL_CHUNK = 1024
+
+
+def _valid_pairs(s1: pd.Series, s2: pd.Series):
+    """(out, idx, list1, list2): NaN-prefilled output plus the positions
+    and str-coerced values of the non-null pairs (the _pairwise contract)."""
+    out = np.full(len(s1), np.nan)
+    a1 = s1.to_numpy(dtype=object)
+    a2 = s2.to_numpy(dtype=object)
+
+    def ok(v):
+        return not (v is None or (isinstance(v, float) and np.isnan(v)))
+
+    idx = np.fromiter(
+        (i for i in range(len(out)) if ok(a1[i]) and ok(a2[i])),
+        dtype=np.int64,
+    )
+    return out, idx, [str(a1[i]) for i in idx], [str(a2[i]) for i in idx]
+
+
+def _encode_pad(strs: list[str]):
+    """Padded (n, Lmax) uint32 codepoint matrix + lengths, built from ONE
+    utf-32 encode of the concatenated batch (no per-string frombuffer)."""
+    flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    L = max(int(lens.max()), 1) if len(lens) else 1
+    M = np.zeros((len(strs), L), dtype=np.uint32)
+    M[np.arange(L)[None, :] < lens[:, None]] = flat
+    return M, lens
+
+
+def _jaro_np(strs1: list[str], strs2: list[str], winkler: bool) -> np.ndarray:
+    """Vectorized Jaro(-Winkler) for a batch of string pairs.
+
+    The greedy window-match loop runs over s1 character POSITIONS (short),
+    with each step a vectorized first-unmatched-equal-in-window argmax
+    across the whole batch; transpositions come from one flat segmented
+    mismatch count over the matched characters (row-major flatten of the
+    flag masks preserves per-pair order)."""
+    A, len1 = _encode_pad(strs1)
+    Bm, len2 = _encode_pad(strs2)
+    B, (L1, L2) = len(strs1), (A.shape[1], Bm.shape[1])
+    w = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    flags1 = np.zeros((B, L1), dtype=bool)
+    flags2 = np.zeros((B, L2), dtype=bool)
+    j_idx = np.arange(L2)
+    for i in range(L1):
+        active = i < len1
+        if not active.any():
+            break
+        lo = np.maximum(0, i - w)
+        hi = np.minimum(i + w + 1, len2)
+        # pad chars can never false-match: j < len2 bounds the window and
+        # i < len1 bounds the active rows
+        cand = (
+            (Bm == A[:, i][:, None])
+            & ~flags2
+            & (j_idx[None, :] >= lo[:, None])
+            & (j_idx[None, :] < hi[:, None])
+            & active[:, None]
+        )
+        hit = cand.any(axis=1)
+        js = cand.argmax(axis=1)
+        rows = np.nonzero(hit)[0]
+        flags1[rows, i] = True
+        flags2[rows, js[rows]] = True
+    matches = flags1.sum(axis=1)
+    neq = A[flags1] != Bm[flags2]
+    cs = np.concatenate([[0], np.cumsum(neq)])
+    ends = np.cumsum(matches)
+    t = (cs[ends] - cs[ends - matches]) // 2
+    m = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (m / len1 + m / len2 + (m - t) / np.maximum(m, 1)) / 3.0
+    sim = np.where(matches == 0, 0.0, sim)
+    # scalar early-out parity: s1 == s2 -> 1.0 (the formula already gives
+    # 1.0 for equal non-empty strings; this covers the both-empty case too)
+    Lc = min(L1, L2)
+    eq = (len1 == len2) & (A[:, :Lc] == Bm[:, :Lc]).all(axis=1)
+    sim = np.where(eq, 1.0, sim)
+    if not winkler:
+        return sim
+    P = min(4, L1, L2)
+    if P:
+        pe = (A[:, :P] == Bm[:, :P]) & (
+            np.arange(P)[None, :] < np.minimum(len1, len2)[:, None]
+        )
+        prefix = np.cumprod(pe, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(B, dtype=np.int64)
+    return np.where(sim > 0.7, sim + 0.1 * prefix * (1.0 - sim), sim)
+
+
+def _damerau_np(strs1: list[str], strs2: list[str]) -> np.ndarray:
+    """Vectorized unrestricted Damerau-Levenshtein distance for a batch.
+
+    The full (i, j) DP runs as scalar loops over character positions with
+    every cell update a numpy op across the batch; the per-pair 'da'
+    alphabet table becomes a (batch, alphabet) matrix via a shared
+    codebook (np.unique over the batch's characters). Cells beyond a
+    pair's own lengths compute garbage that its valid region never reads
+    (the answer cell is (len1+1, len2+1); 'da'/'db' pollution from pad
+    chars only feeds other garbage cells)."""
+    A, len1 = _encode_pad(strs1)
+    Bm, len2 = _encode_pad(strs2)
+    B, (L1, L2) = len(strs1), (A.shape[1], Bm.shape[1])
+    uniq = np.unique(np.concatenate([A[A != 0], Bm[Bm != 0]]))
+    Ac = (np.searchsorted(uniq, A) + 1).astype(np.int32)
+    Ac[A == 0] = 0
+    Bc = (np.searchsorted(uniq, Bm) + 1).astype(np.int32)
+    Bc[Bm == 0] = 0
+    V = len(uniq) + 1
+    INF = L1 + L2 + 1
+    D = np.zeros((B, L1 + 2, L2 + 2), dtype=np.int32)
+    D[:, 0, :] = INF
+    D[:, :, 0] = INF
+    D[:, 1, 1:] = np.arange(L2 + 1)
+    D[:, 1:, 1] = np.arange(L1 + 1)
+    da = np.zeros((B, V), dtype=np.int32)
+    ridx = np.arange(B)
+    for i in range(1, L1 + 1):
+        c1 = Ac[:, i - 1]
+        db = np.zeros(B, dtype=np.int32)
+        for j in range(1, L2 + 1):
+            c2 = Bc[:, j - 1]
+            k = da[ridx, c2]
+            l_ = db
+            eq = c1 == c2
+            db = np.where(eq, j, db)
+            trans = D[ridx, k, l_] + (i - k - 1) + 1 + (j - l_ - 1)
+            D[:, i + 1, j + 1] = np.minimum(
+                np.minimum(D[:, i, j] + (~eq), D[:, i + 1, j] + 1),
+                np.minimum(D[:, i, j + 1] + 1, trans),
+            )
+        da[ridx, c1] = i
+    return D[ridx, len1 + 1, len2 + 1].astype(np.int64)
+
+
+def _jaro_family_batch(winkler: bool):
+    def batch(s1, s2):
+        out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+        if len(idx) == 0:
+            return pd.Series(out)
+        lens = np.array([max(len(x), len(y)) for x, y in zip(strs1, strs2)])
+        short = lens <= _VEC_MAX_LEN_JARO
+        if short.any():
+            sub = np.nonzero(short)[0]
+            out[idx[sub]] = _jaro_np(
+                [strs1[i] for i in sub], [strs2[i] for i in sub], winkler
+            )
+        kernel = jaro_winkler if winkler else jaro
+        for i in np.nonzero(~short)[0]:
+            out[idx[i]] = kernel(strs1[i], strs2[i])
+        return pd.Series(out)
+
+    return batch
+
+
+jaro_batch = _jaro_family_batch(winkler=False)
+jaro_winkler_batch = _jaro_family_batch(winkler=True)
 qgram_batch = _pairwise(qgram_sim)
 cosine_batch = _pairwise(cosine_sim)
 smith_waterman_batch = _pairwise(smith_waterman_sim)
@@ -579,4 +751,26 @@ def _norm_dist(dist_fn):
 
 
 levenshtein_batch = _norm_dist(levenshtein_distance)
-damerau_levenshtein_batch = _norm_dist(damerau_levenshtein_distance)
+
+
+def damerau_levenshtein_batch(s1, s2):
+    """1 - DL_distance / max(len), vectorized across the batch for pairs
+    with both strings <= _VEC_MAX_LEN_DL chars (chunked so the DP cube
+    stays ~<=20 MB); longer pairs use the scalar oracle kernel."""
+    out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+    if len(idx) == 0:
+        return pd.Series(out)
+    l1 = np.fromiter((len(x) for x in strs1), dtype=np.int64, count=len(strs1))
+    l2 = np.fromiter((len(x) for x in strs2), dtype=np.int64, count=len(strs2))
+    mx = np.maximum(l1, l2)
+    short = (l1 <= _VEC_MAX_LEN_DL) & (l2 <= _VEC_MAX_LEN_DL) & (mx > 0)
+    sub = np.nonzero(short)[0]
+    for c0 in range(0, len(sub), _DL_CHUNK):
+        chunk = sub[c0 : c0 + _DL_CHUNK]
+        d = _damerau_np([strs1[i] for i in chunk], [strs2[i] for i in chunk])
+        out[idx[chunk]] = 1.0 - d / mx[chunk]
+    for i in np.nonzero(~short)[0]:
+        if mx[i] == 0:
+            continue  # 0/0 -> NaN, matching the reference's numpy warning path
+        out[idx[i]] = 1.0 - damerau_levenshtein_distance(strs1[i], strs2[i]) / mx[i]
+    return pd.Series(out)

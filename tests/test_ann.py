@@ -75,3 +75,21 @@ def test_near_dup_bucket_cap_drops_degenerate_bucket(spark):
         df, dim=8, threshold=0.95, bits=6, tables=4, bucket_cap=2000
     ).count()
     assert uncapped >= 30 * 29 // 2
+
+
+def test_lsh_topk_null_query_vectors_are_dropped(spark, vectors):
+    """r3 (ADVICE r2): a query row with a null embedding used to hash to
+    bucket 0, emit candidates, and then mis-index the collected query
+    matrix in the score kernel. Null-vector queries (and corpus rows)
+    must simply be absent from the output."""
+    queries = vectors.filter("vec_id < 3").select("vec_id", "embedding").union(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<double>")
+    )
+    corpus = vectors.union(
+        spark.createDataFrame([(998, None)], "vec_id long, embedding array<double>")
+    )
+    out = ann.lsh_topk(corpus, queries, dim=16, k=2, bits=4, tables=8).collect()
+    qids = {r["query_id"] for r in out}
+    nids = {r["neighbor_id"] for r in out}
+    assert 999 not in qids and 998 not in nids
+    assert qids <= {0, 1, 2} and len(qids) == 3

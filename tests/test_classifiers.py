@@ -177,3 +177,72 @@ def test_continuous_features_fail_fast(spark):
         _guard_discrete(feats, ["f1", "f2"], max_unique=1000)
     # discrete columns pass
     _guard_discrete(feats.select("id_1", "id_2", "f2"), ["f2"], max_unique=1000)
+
+
+def test_svm_squared_hinge_is_stationary(vectors):
+    """r3: the SVM fit is a real squared-hinge minimizer (LinearSVC's
+    objective), not a logreg stand-in — verify first-order stationarity:
+    no small perturbation of the fitted (intercept, coefficients) lowers
+
+        0.5*||beta||^2 + C * sum_i w_i * max(0, 1 - y_i x_i.beta)^2
+
+    evaluated on the same unique-vector sufficient statistics."""
+    import numpy as np
+
+    features, truth = vectors
+    clf = SVMClassifier().fit(features, truth)
+    cols = clf._cols
+    labeled = features.join(
+        truth.selectExpr("id_1", "id_2", "1 as _y"), ["id_1", "id_2"], "left"
+    ).fillna({"_y": 0})
+    grouped = labeled.groupBy(*cols, "_y").count().collect()
+    X = np.array([[float(r[c]) for c in cols] for r in grouped])
+    y = np.where(np.array([r["_y"] for r in grouped]) == 1, 1.0, -1.0)
+    w = np.array([float(r["count"]) for r in grouped])
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    beta = np.concatenate([[clf.intercept], clf.coefficients])
+
+    def obj(b):
+        m = np.maximum(1.0 - y * (Xb @ b), 0.0)
+        return 0.5 * b @ b + clf.C * np.sum(w * m * m)
+
+    base = obj(beta)
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        d = rng.normal(size=len(beta))
+        d /= np.linalg.norm(d)
+        for eps in (1e-3, 1e-2):
+            assert obj(beta + eps * d) >= base - 1e-6 * max(1.0, abs(base))
+
+
+def test_svm_agrees_with_logreg_decisions(vectors):
+    """Both linear separators, fit on the same clearly-separated fixture,
+    must agree on almost every pair (documented-deviation closure check)."""
+    features, truth = vectors
+    svm = SVMClassifier().fit_predict(features, truth)
+    lr = LogisticRegressionClassifier().fit_predict(features, truth)
+    n = features.count()
+    agree = (
+        svm.select("id_1", "id_2", "label")
+        .join(lr.selectExpr("id_1", "id_2", "label as l2"), ["id_1", "id_2"])
+        .filter("label = l2")
+        .count()
+    )
+    assert agree / n >= 0.99
+
+
+def test_ecm_defaults_come_from_engine_config():
+    """r3: EngineConfig.ecm_max_iter/ecm_atol are wired into ECMClassifier
+    defaults (previously decorative)."""
+    from recordlinkage_spark.config import EngineConfig
+
+    cfg = EngineConfig(ecm_max_iter=7, ecm_atol=0.5)
+    clf = ECMClassifier(config=cfg)
+    assert clf.max_iter == 7 and clf.atol == 0.5
+    # explicit args still win
+    clf2 = ECMClassifier(max_iter=3, atol=1e-6, config=cfg)
+    assert clf2.max_iter == 3 and clf2.atol == 1e-6
+    # and the plain default path matches EngineConfig's defaults
+    d = EngineConfig()
+    clf3 = ECMClassifier()
+    assert clf3.max_iter == d.ecm_max_iter and clf3.atol == d.ecm_atol

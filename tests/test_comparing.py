@@ -237,3 +237,23 @@ def test_variable_both_sides(spark):
     )
     got = {(r["id_1"], r["id_2"]): (r["val_a"], r["val_b"]) for r in out}
     assert got == {(1, 3): (10.0, 30.0), (2, 4): (0.0, 40.0)}  # null -> 0.0
+
+
+def test_variable_both_normalized_in_constructor(spark):
+    """r3: Variable(side='both') passed via Compare(features=[...]) must
+    expand into _a/_b single-side features exactly like Compare.add
+    (previously the constructor path silently emitted one column)."""
+    from recordlinkage_spark.comparing import Compare, Variable
+
+    via_ctor = Compare(features=[Variable("v", side="both", label="var")])
+    via_add = Compare().add(Variable("v", side="both", label="var"))
+    assert [f.label for f in via_ctor.features] == ["var_a", "var_b"]
+    assert [f.label for f in via_ctor.features] == [f.label for f in via_add.features]
+    assert all(f.side in ("left", "right") for f in via_ctor.features)
+
+
+def test_variable_both_build_raises():
+    from recordlinkage_spark.comparing import Variable
+
+    with pytest.raises(NotImplementedError):
+        Variable("v", side="both").build()

@@ -268,3 +268,59 @@ def test_simhash_zero_count_layouts():
                 assert np.array_equal(sh._simhash_from_segments(flat, counts), expect)
         finally:
             sh._CHUNK_HASHES = old
+
+
+# ---------------------------------------------------------------------------
+# r3: batch-vectorized jaro / jaro-winkler / damerau vs their scalar oracles
+# ---------------------------------------------------------------------------
+
+def _rand_str(rng, alphabet, maxlen):
+    n = rng.randint(0, maxlen)
+    return "".join(rng.choice(list(alphabet)) for _ in range(n))
+
+
+@pytest.mark.parametrize("alphabet", ["ab", "abcde", "abcdefghij", "àbçdé日本語"])
+def test_jaro_family_vectorized_matches_scalar(alphabet):
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(hash(alphabet) % (2**31))
+    s1 = [_rand_str(rng, alphabet, 18) for _ in range(400)]
+    s2 = [_rand_str(rng, alphabet, 18) for _ in range(400)]
+    s1 += ["", "", "a", "ca", "abc", "aa", "martha", "x" * 600]
+    s2 += ["", "a", "", "abc", "ca", "aa", "marhta", "x" * 599 + "y"]
+    got_j = sm.jaro_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    got_w = sm.jaro_winkler_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        assert got_j[i] == pytest.approx(sm.jaro(x, y), abs=1e-12), (x, y)
+        assert got_w[i] == pytest.approx(sm.jaro_winkler(x, y), abs=1e-12), (x, y)
+
+
+@pytest.mark.parametrize("alphabet", ["ab", "abcdefghij", "àbçdé日本語"])
+def test_damerau_vectorized_matches_scalar(alphabet):
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(hash(alphabet) % (2**31))
+    s1 = [_rand_str(rng, alphabet, 20) for _ in range(400)]
+    s2 = [_rand_str(rng, alphabet, 20) for _ in range(400)]
+    # edge cases + a long pair exercising the scalar fallback (> 64 chars)
+    s1 += ["", "a", "ca", "abcdef" * 20]
+    s2 += ["", "", "abc", "abcdef" * 19 + "abcdfe"]
+    got = sm.damerau_levenshtein_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        mx = max(len(x), len(y))
+        if mx == 0:
+            assert np.isnan(got[i])
+        else:
+            exp = 1.0 - sm.damerau_levenshtein_distance(x, y) / mx
+            assert got[i] == pytest.approx(exp, abs=1e-12), (x, y)
+
+
+def test_jaro_family_null_contract():
+    from recordlinkage_spark import stringmetrics as sm
+
+    s1 = pd.Series(["abc", None, np.nan, "xy"])
+    s2 = pd.Series([None, "abc", "q", "xy"])
+    for fn in (sm.jaro_batch, sm.jaro_winkler_batch, sm.damerau_levenshtein_batch):
+        out = fn(s1, s2).to_numpy()
+        assert np.isnan(out[0]) and np.isnan(out[1]) and np.isnan(out[2])
+        assert out[3] == 1.0
