@@ -701,6 +701,35 @@ def _damerau_np(strs1: list[str], strs2: list[str]) -> np.ndarray:
     return D[ridx, len1 + 1, len2 + 1].astype(np.int64)
 
 
+def _levenshtein_np(strs1: list[str], strs2: list[str]) -> np.ndarray:
+    """Vectorized Levenshtein distance for a batch: the per-pair
+    Wagner–Fischer row loop (with the min-plus prefix trick for the
+    deletion term) lifted to (batch, chars) matrices — one numpy pass per
+    s1 character position instead of per pair. Rows whose s1 is exhausted
+    capture their answer and then compute ignored garbage."""
+    A, len1 = _encode_pad(strs1)
+    Bm, len2 = _encode_pad(strs2)
+    B, (L1, L2) = len(strs1), (A.shape[1], Bm.shape[1])
+    ar = np.arange(L2 + 1, dtype=np.int64)
+    prev = np.broadcast_to(ar, (B, L2 + 1)).copy()
+    ridx = np.arange(B)
+    result = np.where(len1 == 0, len2, 0)
+    for i in range(L1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i + 1
+        np.minimum(
+            prev[:, :-1] + (Bm != A[:, i][:, None]), prev[:, 1:] + 1,
+            out=cur[:, 1:],
+        )
+        t = cur - ar
+        np.minimum.accumulate(t, axis=1, out=t)
+        prev = t + ar
+        done = len1 == i + 1
+        if done.any():
+            result[done] = prev[done, len2[done]]
+    return result
+
+
 def _jaro_family_batch(winkler: bool):
     def batch(s1, s2):
         out, idx, strs1, strs2 = _valid_pairs(s1, s2)
@@ -750,7 +779,26 @@ def _norm_dist(dist_fn):
     return batch
 
 
-levenshtein_batch = _norm_dist(levenshtein_distance)
+def levenshtein_batch(s1, s2):
+    """1 - distance / max(len), batch-vectorized like the damerau kernel
+    (scalar Wagner–Fischer stays as the fallback for very long strings
+    and as the differential-test oracle)."""
+    out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+    if len(idx) == 0:
+        return pd.Series(out)
+    l1 = np.fromiter((len(x) for x in strs1), dtype=np.int64, count=len(strs1))
+    l2 = np.fromiter((len(x) for x in strs2), dtype=np.int64, count=len(strs2))
+    mx = np.maximum(l1, l2)
+    short = (l1 <= _VEC_MAX_LEN_JARO) & (l2 <= _VEC_MAX_LEN_JARO) & (mx > 0)
+    sub = np.nonzero(short)[0]
+    if len(sub):
+        d = _levenshtein_np([strs1[i] for i in sub], [strs2[i] for i in sub])
+        out[idx[sub]] = 1.0 - d / mx[sub]
+    for i in np.nonzero(~short)[0]:
+        if mx[i] == 0:
+            continue  # 0/0 -> NaN, matching the reference's numpy warning path
+        out[idx[i]] = 1.0 - levenshtein_distance(strs1[i], strs2[i]) / mx[i]
+    return pd.Series(out)
 
 
 def damerau_levenshtein_batch(s1, s2):

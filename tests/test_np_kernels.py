@@ -324,3 +324,22 @@ def test_jaro_family_null_contract():
         out = fn(s1, s2).to_numpy()
         assert np.isnan(out[0]) and np.isnan(out[1]) and np.isnan(out[2])
         assert out[3] == 1.0
+
+
+@pytest.mark.parametrize("alphabet", ["ab", "abcdefghij", "àbçdé日本語"])
+def test_levenshtein_vectorized_matches_scalar(alphabet):
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(hash(alphabet) % (2**31))
+    s1 = [_rand_str(rng, alphabet, 20) for _ in range(400)]
+    s2 = [_rand_str(rng, alphabet, 20) for _ in range(400)]
+    s1 += ["", "a", "ca", "kitten", "x" * 600]
+    s2 += ["", "", "abc", "sitting", "x" * 599 + "y"]
+    got = sm.levenshtein_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        mx = max(len(x), len(y))
+        if mx == 0:
+            assert np.isnan(got[i])
+        else:
+            exp = 1.0 - sm.levenshtein_distance(x, y) / mx
+            assert got[i] == pytest.approx(exp, abs=1e-12), (x, y)
