@@ -14,6 +14,12 @@ writeStream contract.
   the signature table, the standard lambda design for streaming near-dup).
 - ``foreach_batch_dedup``: a forEachBatch hook that runs the batch LSH pass
   per micro-batch against the accumulated signature store.
+- ``streaming_simhash_neardup``: a CUSTOM STATEFUL operator
+  (``applyInPandasWithState``): SimHash-block-keyed state holds the
+  recent signatures per bucket (FIFO-capped), every arriving doc emits
+  its Hamming<=k matches against that state immediately — true streaming
+  near-dup detection with bounded state (cap + processing-time timeout),
+  not a periodic batch join.
 """
 
 from __future__ import annotations
@@ -95,3 +101,130 @@ def foreach_batch_dedup(signature_store_path: str, pairs_out_path: str,
         pairs.write.mode("append").parquet(pairs_out_path)
 
     return process
+
+
+def streaming_simhash_neardup(
+    stream: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    hamming_k: int = 3,
+    blocks: int = 4,
+    shingle_size: int = 2,
+    max_bucket_state: int = 256,
+    state_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Streaming near-dup pairs via stateful SimHash blocking
+    (``applyInPandasWithState``) — the operator a continuously-ingesting
+    pipeline needs when "detect the dup NOW" matters, versus the
+    periodic-batch LSH join.
+
+    Each doc's 64-bit SimHash splits into ``blocks`` prefix blocks
+    (pigeonhole: any pair at Hamming <= blocks-1 shares one block). The
+    stream is keyed by (block_id, block_val); per-key GroupState holds
+    the bucket's recent (id, simhash) pairs. An arriving doc is XOR'd
+    against the whole bucket state in one vectorized popcount, emits
+    ``(id_1, id_2, hamming)`` for matches at Hamming <= hamming_k, and
+    joins the state. State is bounded two ways (10^12-doc story):
+    FIFO-capped at ``max_bucket_state`` per bucket (a boilerplate bucket
+    cannot grow without limit — oldest entries evict first) and evicted
+    wholesale after ``state_timeout_ms`` without traffic
+    (processing-time timeout). The same pair may surface from several
+    blocks; downstream consumers dedupe on (id_1, id_2).
+
+    Ids are emitted as strings (the state schema is fixed); cast back as
+    needed.
+
+    NOTE on termination: with a processing-time timeout the query NEVER
+    self-terminates — Spark keeps scheduling (possibly empty) micro-
+    batches to fire state timeouts, so even ``trigger(availableNow)``
+    runs forever; that is correct for the production stream (state must
+    age out), but finite drives/tests should either pass
+    ``state_timeout_ms=None`` (NoTimeout — the query drains and stops)
+    or ``q.stop()`` after reading the sink.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from recordlinkage_spark.simhash import make_text_simhash_udf
+
+    udf = make_text_simhash_udf(shingle_size)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sig = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        udf(F.col(text_col)).alias("simhash"),
+    ).filter(F.col("simhash").isNotNull())
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("block_val"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("_c"),
+    ).select("id", "simhash", "_c.block_id", "_c.block_val")
+
+    def _hamming(new_sims: np.ndarray, old_sims: np.ndarray) -> np.ndarray:
+        """(n_new, n_old) Hamming distances via uint8-view popcount."""
+        x = (new_sims[:, None] ^ old_sims[None, :]).astype(np.uint64)
+        b = x.view(np.uint8).reshape(len(new_sims), len(old_sims), 8)
+        return np.unpackbits(b, axis=2).sum(axis=2)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"id_1": [], "id_2": [], "hamming": []})
+            return
+        ids: list = []
+        sims: list = []
+        if state.exists:
+            ids, sims = list(state.get[0]), list(state.get[1])
+        out_1, out_2, out_h = [], [], []
+        for pdf in pdfs:
+            new_ids = pdf["id"].tolist()
+            new_sims = pdf["simhash"].to_numpy(dtype=np.int64)
+            if len(sims):
+                H = _hamming(new_sims, np.array(sims, dtype=np.int64))
+                hit_i, hit_j = np.nonzero(H <= hamming_k)
+                for a, b in zip(hit_i, hit_j):
+                    if new_ids[a] != ids[b]:
+                        out_1.append(new_ids[a])
+                        out_2.append(ids[b])
+                        out_h.append(int(H[a, b]))
+            if len(new_sims) > 1:  # intra-batch pairs (upper triangle)
+                H = _hamming(new_sims, new_sims)
+                hit_i, hit_j = np.nonzero(np.triu(H <= hamming_k, k=1))
+                for a, b in zip(hit_i, hit_j):
+                    if new_ids[a] != new_ids[b]:
+                        out_1.append(new_ids[a])
+                        out_2.append(new_ids[b])
+                        out_h.append(int(H[a, b]))
+            ids.extend(new_ids)
+            sims.extend(int(s) for s in new_sims)
+        if len(ids) > max_bucket_state:  # FIFO eviction keeps the freshest
+            ids = ids[-max_bucket_state:]
+            sims = sims[-max_bucket_state:]
+        state.update((ids, sims))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({"id_1": out_1, "id_2": out_2, "hamming": out_h})
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return chunks.groupBy("block_id", "block_val").applyInPandasWithState(
+        update,
+        outputStructType="id_1 string, id_2 string, hamming int",
+        stateStructType="ids array<string>, sims array<bigint>",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -79,3 +79,44 @@ def test_foreach_batch_incremental_lsh(spark, stream_dir, tmp_path):
     pairs = spark.read.parquet(pairs_out)
     assert pairs.count() > 0  # planted exact dups collide in every band
     assert pairs.filter(F.col("id_1") <= F.col("id_2")).count() == 0
+
+
+def test_streaming_simhash_neardup_stateful(spark, stream_dir):
+    """r3: the applyInPandasWithState operator must surface planted exact
+    dups (hamming 0) as they stream through, with pairs possibly repeated
+    across blocks (consumer dedupes)."""
+    path, docs = stream_dir
+    schema = docs.select("url", "warc_ts", "text", "lang").schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    pairs = streaming.streaming_simhash_neardup(
+        stream, id_col="url", text_col="text", hamming_k=3, blocks=4,
+        shingle_size=2, state_timeout_ms=None,  # NoTimeout -> availableNow drains and stops
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("neardup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()  # belt-and-braces: never leak a live query into the shared session
+    out = spark.sql(
+        "select distinct greatest(id_1, id_2) g, least(id_1, id_2) l,"
+        " min(hamming) h from neardup_sink group by 1, 2"
+    )
+    got = {(r["g"], r["l"]) for r in out.collect()}
+    assert len(got) > 0
+    # exact dups (identical text -> identical simhash) must all be found
+    from recordlinkage_spark import streaming as st
+    fp = st.with_fingerprint(docs).select("url", "fingerprint")
+    a = fp.selectExpr("url as u1", "fingerprint")
+    b = fp.selectExpr("url as u2", "fingerprint")
+    exact = {
+        (max(r["u1"], r["u2"]), min(r["u1"], r["u2"]))
+        for r in a.join(b, "fingerprint").filter("u1 > u2").collect()
+    }
+    assert exact and exact <= got
+    # emitted hamming for exact dups is 0
+    zeros = {(r["g"], r["l"]) for r in out.filter("h = 0").collect()}
+    assert exact <= zeros
