@@ -69,17 +69,28 @@ def attempt(pairs: list[tuple[int, int]], n_docs: int = N_DOCS) -> dict:
         return rec
     rec["pairs"] = []
     for n_lo, n_hi in pairs:
-        lo = _run_child("scaling_bench.py", [str(n_lo), str(n_docs)])
-        hi = _run_child("scaling_bench.py", [str(n_hi), str(n_docs)])
+        # interleave lo/hi twice inside the bracketed window and take the
+        # best run per side — one slow sample (this host swings 5x inside
+        # minutes) cannot then bias either side of the ratio
+        runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+        for _rep in range(2):
+            for cfg in (n_lo, n_hi):
+                runs[cfg].append(
+                    _run_child("scaling_bench.py", [str(cfg), str(n_docs)])
+                )
+        lo = max(runs[n_lo], key=lambda r: r["docs_per_sec"])
+        hi = max(runs[n_hi], key=lambda r: r["docs_per_sec"])
         ratio = n_hi // n_lo
         eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
         entry = {"n_lo": n_lo, "n_hi": n_hi,
                  f"local{n_lo}": lo, f"local{n_hi}": hi,
+                 "all_lo": [r["docs_per_sec"] for r in runs[n_lo]],
+                 "all_hi": [r["docs_per_sec"] for r in runs[n_hi]],
                  "efficiency": round(eff, 3)}
         rec["pairs"].append(entry)
-        print(f"  local[{n_lo}] {lo['docs_per_sec']} docs/s | "
-              f"local[{n_hi}] {hi['docs_per_sec']} docs/s | eff {eff:.3f}",
-              flush=True)
+        print(f"  local[{n_lo}] {lo['docs_per_sec']} docs/s {entry['all_lo']} | "
+              f"local[{n_hi}] {hi['docs_per_sec']} docs/s {entry['all_hi']} | "
+              f"eff {eff:.3f}", flush=True)
     # post-probe: was the window still quiet when we finished?
     p2 = probe()
     rec["post_probe"] = p2

@@ -152,3 +152,23 @@ def test_one_to_one_driver_vs_wave_equivalence(spark):
     assert {(r["id_1"], r["id_2"]) for r in fast.collect()} == {
         (r["id_1"], r["id_2"]) for r in wave.collect()
     }
+
+
+def test_one_to_one_chunked_equals_driver(spark):
+    """r3: the rank-range chunked path (driver_threshold forces tiny
+    chunks) must match the one-shot exact greedy bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (int(rng.randint(0, 60)), int(rng.randint(100, 160)), i)
+        for i in range(800)
+    ]
+    pairs = spark.createDataFrame(rows, "id_1 long, id_2 long, seq long").filter(
+        "id_1 != id_2"
+    )
+    exact = OneToOneLinking(driver_threshold=10**9).compute(pairs)
+    chunked = OneToOneLinking(driver_threshold=50).compute(pairs)
+    e = {(r["id_1"], r["id_2"], r["seq"]) for r in exact.collect()}
+    c = {(r["id_1"], r["id_2"], r["seq"]) for r in chunked.collect()}
+    assert e == c and len(e) > 0
