@@ -343,3 +343,53 @@ def test_levenshtein_vectorized_matches_scalar(alphabet):
         else:
             exp = 1.0 - sm.levenshtein_distance(x, y) / mx
             assert got[i] == pytest.approx(exp, abs=1e-12), (x, y)
+
+
+# ---------------------------------------------------------------------------
+# r3: hypothesis property tests — vectorized kernels vs scalar oracles on
+# arbitrary unicode (exercises padding, codebooks, window clamps, ties)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _texts = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(_texts, _texts)
+    def test_hypothesis_jaro_family(xs, ys):
+        from recordlinkage_spark import stringmetrics as sm
+
+        n = min(len(xs), len(ys))
+        s1, s2 = pd.Series(xs[:n]), pd.Series(ys[:n])
+        vj = sm.jaro_batch(s1, s2).to_numpy()
+        vw = sm.jaro_winkler_batch(s1, s2).to_numpy()
+        vl = sm.levenshtein_batch(s1, s2).to_numpy()
+        vd = sm.damerau_levenshtein_batch(s1, s2).to_numpy()
+        for i in range(n):
+            x, y = xs[i], ys[i]
+            assert vj[i] == pytest.approx(sm.jaro(x, y), abs=1e-12)
+            assert vw[i] == pytest.approx(sm.jaro_winkler(x, y), abs=1e-12)
+            mx = max(len(x), len(y))
+            if mx == 0:
+                assert np.isnan(vl[i]) and np.isnan(vd[i])
+            else:
+                assert vl[i] == pytest.approx(
+                    1.0 - sm.levenshtein_distance(x, y) / mx, abs=1e-12
+                )
+                assert vd[i] == pytest.approx(
+                    1.0 - sm.damerau_levenshtein_distance(x, y) / mx, abs=1e-12
+                )
