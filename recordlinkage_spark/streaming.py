@@ -148,6 +148,13 @@ def streaming_simhash_neardup(
 
     from recordlinkage_spark.simhash import make_text_simhash_udf
 
+    if blocks < hamming_k + 1:
+        # same guard as batch SimHash (simhash.py:120): the pigeonhole
+        # guarantee only covers Hamming <= blocks-1; beyond that the
+        # stream would silently return a probabilistic subset at the
+        # advertised distance (ADVICE r3)
+        raise ValueError("need blocks >= hamming_k+1 for the pigeonhole guarantee")
+
     udf = make_text_simhash_udf(shingle_size)
     width = 64 // blocks
     mask = (1 << width) - 1
@@ -180,7 +187,14 @@ def streaming_simhash_neardup(
     def update(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame({"id_1": [], "id_2": [], "hamming": []})
+            # explicit dtypes: bare [] columns default to float64, and
+            # this branch must produce frames Arrow can cast to the
+            # string/int output schema even at zero rows (ADVICE r3)
+            yield pd.DataFrame({
+                "id_1": pd.Series([], dtype=object),
+                "id_2": pd.Series([], dtype=object),
+                "hamming": pd.Series([], dtype=np.int32),
+            })
             return
         ids: list = []
         sims: list = []

@@ -60,6 +60,11 @@ def child(mode: str, cpus: int) -> None:
     from recordlinkage_spark.config import get_spark
     from pyspark.sql import functions as F
 
+    # Self-sufficient when invoked standalone (bench.py's probe calls the
+    # scan child directly): build the control corpus if it isn't there yet.
+    if not (DATA / "_SUCCESS").exists():
+        gen(2_000_000)
+
     spark = get_spark(f"control-{mode}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")

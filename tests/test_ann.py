@@ -93,3 +93,22 @@ def test_lsh_topk_null_query_vectors_are_dropped(spark, vectors):
     nids = {r["neighbor_id"] for r in out}
     assert 999 not in qids and 998 not in nids
     assert qids <= {0, 1, 2} and len(qids) == 3
+
+
+def test_collect_matrix_guard_trips(spark):
+    """r4 (VERDICT r3 #2): pointing the query/oracle side at a table
+    bigger than the collect ceiling must fail fast with a diagnosed
+    error naming the bucketed alternative, not a driver OOM."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs"):
+        ann._collect_matrix(big, "vec_id", "embedding", max_rows=100,
+                            caller="cosine_topk (query side)")
+    # under the limit: collects fine
+    ids, M = ann._collect_matrix(big, "vec_id", "embedding", max_rows=500)
+    assert len(ids) == 200 and M.shape == (200, 2)

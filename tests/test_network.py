@@ -172,3 +172,27 @@ def test_one_to_one_chunked_equals_driver(spark):
     e = {(r["id_1"], r["id_2"], r["seq"]) for r in exact.collect()}
     c = {(r["id_1"], r["id_2"], r["seq"]) for r in chunked.collect()}
     assert e == c and len(e) > 0
+
+
+def test_one_to_one_prewave_equals_driver(spark):
+    """r4: the distributed wave pre-prune (run before every driver pull)
+    must leave the chunked result bit-identical to one-shot greedy."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    rows = [
+        (int(rng.randint(0, 60)), int(rng.randint(0, 60)), i)
+        for i in range(800)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "id_1 long, id_2 long, seq long"
+    ).filter("id_1 != id_2")
+    exact = OneToOneLinking(driver_threshold=10**9).compute(pairs)
+    waved = OneToOneLinking(
+        driver_threshold=50, prewave_min_rows=0
+    ).compute(pairs)
+    e = {(r["id_1"], r["id_2"], r["seq"]) for r in exact.collect()}
+    w = {(r["id_1"], r["id_2"], r["seq"]) for r in waved.collect()}
+    assert e == w and len(e) > 0
+    assert exact.exceptAll(waved).count() == 0
+    assert waved.exceptAll(exact).count() == 0

@@ -120,3 +120,87 @@ def test_streaming_simhash_neardup_stateful(spark, stream_dir):
     # emitted hamming for exact dups is 0
     zeros = {(r["g"], r["l"]) for r in out.filter("h = 0").collect()}
     assert exact <= zeros
+
+
+def test_streaming_simhash_guard_hamming_vs_blocks(spark, tmp_path):
+    """r4 (ADVICE r3): hamming_k beyond the pigeonhole guarantee must be
+    rejected up front, mirroring batch SimHash (simhash.py:120)."""
+    schema = "url string, text string"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        streaming.streaming_simhash_neardup(
+            stream, id_col="url", text_col="text", hamming_k=4, blocks=4
+        )
+
+
+def test_streaming_simhash_timeout_evicts_state(spark, tmp_path):
+    """r4 (ADVICE r3): drive the ProcessingTimeTimeout branch end-to-end —
+    quiet buckets are evicted (their docs stop matching newcomers) and the
+    query keeps producing correct pairs afterwards. This is the only way
+    the hasTimedOut branch (empty-frame emit + state.remove) executes."""
+    import shutil
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t2 = "pack my box with five dozen liquor jugs for the long trip home " * 3
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "url string, text string"
+
+    def write_batch(rows, name):
+        out = tmp_path / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        for f in out.glob("*.parquet"):
+            shutil.copy(f, in_dir / f"{name}-{f.name}")
+
+    write_batch([("A", t1), ("B", t1)], "b1")
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    pairs = streaming.streaming_simhash_neardup(
+        stream, id_col="url", text_col="text", hamming_k=0, blocks=4,
+        shingle_size=2, state_timeout_ms=1500,
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("timeout_sink")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def sink_pairs():
+            return {
+                (r["g"], r["l"])
+                for r in spark.sql(
+                    "select distinct greatest(id_1,id_2) g,"
+                    " least(id_1,id_2) l from timeout_sink"
+                ).collect()
+            }
+
+        deadline = time.time() + 90
+        while time.time() < deadline and ("B", "A") not in sink_pairs():
+            time.sleep(0.5)
+        assert ("B", "A") in sink_pairs()  # exact dup found pre-eviction
+        # wait out the timeout PLUS at least two further micro-batches —
+        # with ProcessingTimeTimeout Spark schedules empty batches whose
+        # whole job is firing expired timers (the never-self-terminating
+        # behavior the operator docstring warns about)
+        b1_batch = q.lastProgress["batchId"]
+        t_quiet = time.time()
+        deadline = time.time() + 90
+        while time.time() < deadline and not (
+            time.time() - t_quiet > 3.0
+            and q.lastProgress["batchId"] >= b1_batch + 2
+        ):
+            time.sleep(0.5)
+        write_batch([("C", t1), ("D", t2), ("E", t2)], "b2")
+        deadline = time.time() + 90
+        while time.time() < deadline and ("E", "D") not in sink_pairs():
+            time.sleep(0.5)
+        got = sink_pairs()
+    finally:
+        q.stop()
+    assert ("E", "D") in got          # new dups still surface post-eviction
+    # C duplicates A/B's text, but their bucket state timed out and was
+    # removed before C arrived -> no cross-eviction pair
+    assert not any("C" in p for p in got), got
