@@ -150,7 +150,13 @@ _NON_SPACE = None
 
 
 def _strip_accents_unicode(s: str) -> str:
-    """sklearn-compatible unicode accent stripping (NFKD + drop combining)."""
+    """sklearn-compatible unicode accent stripping (NFKD + drop combining).
+
+    ASCII fast path: NFKD is the identity and no ASCII char is combining,
+    so the normalize + per-char scan can be skipped entirely (most webtext
+    fields are ASCII — measured ~25% of the whole qgram batch kernel)."""
+    if s.isascii():
+        return s
     norm = unicodedata.normalize("NFKD", s)
     return "".join(c for c in norm if not unicodedata.combining(c))
 
@@ -752,10 +758,142 @@ def _jaro_family_batch(winkler: bool):
 
 jaro_batch = _jaro_family_batch(winkler=False)
 jaro_winkler_batch = _jaro_family_batch(winkler=True)
-qgram_batch = _pairwise(qgram_sim)
-cosine_batch = _pairwise(cosine_sim)
 smith_waterman_batch = _pairwise(smith_waterman_sim)
 lcs_batch = _pairwise(lcs_sim)
+
+
+# ---------------------------------------------------------------------------
+# batch-vectorized qgram / cosine (r4)
+#
+# The scalar char_wb_ngrams/Counter kernels above stay as the
+# differential-test oracles; the batch path extracts every char_wb
+# n-gram of the whole Arrow batch as rows of ONE padded uint32 codepoint
+# matrix, identifies grams exactly with a single np.unique over the raw
+# bytes (content-based like the Counter keys — no hash collisions), and
+# reduces Σmin / dot / norms with segmented bincounts keyed on
+# (pair, gram). Unicode normalization stays per-string (C-speed,
+# unconditionally correct for NFKD edge cases); everything per-GRAM —
+# the actual hot loop — is numpy. No length cutoff needed: cost is
+# linear in total characters, unlike the O(n·m) DP kernels.
+# ---------------------------------------------------------------------------
+
+_GRAM_PAD = np.uint32(0xFFFFFFFF)  # > any codepoint: pads shorter grams
+
+
+def _char_wb_gram_rows(strs: list[str], n_min: int, n_max: int):
+    """(rows, owner): all char_wb n-gram instances of the batch as a
+    (m, n_max) uint32 matrix (sentinel-padded) + owning string index.
+
+    Mirrors char_wb_ngrams exactly: per whitespace token w padded to
+    ``" w "`` (length tl), each n in [n_min, n_max] with n < tl emits
+    the tl-n+1 sliding windows; a token with tl <= n_max additionally
+    emits the whole padded token ONCE (the scalar's count-once-and-break
+    branch)."""
+    toks: list[str] = []
+    owner_l: list[int] = []
+    for i, s in enumerate(strs):
+        for w in _strip_accents_unicode(s.lower()).split():
+            toks.append(f" {w} ")
+            owner_l.append(i)
+    if not toks:
+        return np.empty((0, n_max), dtype=np.uint32), np.empty(0, np.int64)
+    codes = np.frombuffer("".join(toks).encode("utf-32-le"), dtype=np.uint32)
+    tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    tstart = np.concatenate(([0], np.cumsum(tl)[:-1]))
+    towner = np.asarray(owner_l, dtype=np.int64)
+    parts, owners = [], []
+    for n in range(n_min, n_max + 1):
+        cnt = np.where(tl > n, tl - n + 1, 0)
+        m = int(cnt.sum())
+        if m:
+            seg_off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            win = np.repeat(tstart, cnt) + (np.arange(m) - seg_off)
+            W = np.full((m, n_max), _GRAM_PAD, dtype=np.uint32)
+            W[:, :n] = codes[win[:, None] + np.arange(n)[None, :]]
+            parts.append(W)
+            owners.append(np.repeat(towner, cnt))
+    whole = np.nonzero(tl <= n_max)[0]
+    if len(whole):
+        m = len(whole)
+        W = np.full((m, n_max), _GRAM_PAD, dtype=np.uint32)
+        col = np.arange(n_max)[None, :]
+        mask = col < tl[whole][:, None]
+        W[mask] = codes[(tstart[whole][:, None] + col)[mask]]
+        parts.append(W)
+        owners.append(towner[whole])
+    return np.concatenate(parts), np.concatenate(owners)
+
+
+def _char_wb_sims_np(strs1, strs2, n_min, n_max):
+    """(qgram, cosine) similarity arrays for a batch of string pairs.
+
+    Both measures come from the same segmented (pair, gram, side) counts,
+    with the scalar kernels' exact formulas (so results are bit-identical:
+    integer counts, same float expression)."""
+    npairs = len(strs1)
+    r1, o1 = _char_wb_gram_rows(strs1, n_min, n_max)
+    r2, o2 = _char_wb_gram_rows(strs2, n_min, n_max)
+    q = np.full(npairs, np.nan)
+    c = np.full(npairs, np.nan)
+    rows = np.ascontiguousarray(np.concatenate([r1, r2]))
+    if len(rows) == 0:
+        return q, c
+    # gram identity: pack each row into ONE uint64 where it fits (the
+    # default n_max=2 packs two raw codepoints; n_max=3 packs three
+    # 21-bit codepoints with the sentinel remapped to 0x110000) — an
+    # int64 np.unique sorts ~10x faster than the structured/void
+    # comparator needed for wider rows
+    w = rows.shape[1]
+    if w <= 2:
+        packed = rows[:, 0].astype(np.uint64) << np.uint64(32)
+        if w == 2:
+            packed |= rows[:, 1].astype(np.uint64)
+        _, gram_id = np.unique(packed, return_inverse=True)
+    elif w == 3:
+        packed = np.zeros(len(rows), dtype=np.uint64)
+        for j in range(3):
+            col = np.minimum(rows[:, j], np.uint32(0x110000)).astype(np.uint64)
+            packed = (packed << np.uint64(21)) | col
+        _, gram_id = np.unique(packed, return_inverse=True)
+    else:
+        void = rows.view([("", rows.dtype)] * w).ravel()
+        _, gram_id = np.unique(void, return_inverse=True)
+    g1, g2 = gram_id[: len(o1)], gram_id[len(o1):]
+    G = int(gram_id.max()) + 1
+    k1 = o1 * G + g1
+    k2 = o2 * G + g2
+    uk, inv = np.unique(np.concatenate([k1, k2]), return_inverse=True)
+    cA = np.bincount(inv[: len(k1)], minlength=len(uk)).astype(np.float64)
+    cB = np.bincount(inv[len(k1):], minlength=len(uk)).astype(np.float64)
+    pair_of = uk // G
+    totA = np.bincount(o1, minlength=npairs)
+    totB = np.bincount(o2, minlength=npairs)
+    tot = np.maximum(totA, totB)
+    match = np.bincount(pair_of, weights=np.minimum(cA, cB), minlength=npairs)
+    nz = tot > 0
+    q[nz] = match[nz] / tot[nz]
+    a = np.sqrt(np.bincount(pair_of, weights=cA * cA, minlength=npairs))
+    b = np.sqrt(np.bincount(pair_of, weights=cB * cB, minlength=npairs))
+    dot = np.bincount(pair_of, weights=cA * cB, minlength=npairs)
+    ok = (a > 0) & (b > 0)
+    c[ok] = dot[ok] / (a[ok] * b[ok])
+    return q, c
+
+
+def _char_wb_family_batch(which: str):
+    def batch(s1, s2):
+        out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+        if len(idx) == 0:
+            return pd.Series(out)
+        q, c = _char_wb_sims_np(strs1, strs2, 2, 2)
+        out[idx] = q if which == "qgram" else c
+        return pd.Series(out)
+
+    return batch
+
+
+qgram_batch = _char_wb_family_batch("qgram")
+cosine_batch = _char_wb_family_batch("cosine")
 
 
 def _norm_dist(dist_fn):

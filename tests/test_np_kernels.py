@@ -393,3 +393,67 @@ if _HAS_HYP:
                 assert vd[i] == pytest.approx(
                     1.0 - sm.damerau_levenshtein_distance(x, y) / mx, abs=1e-12
                 )
+
+
+# ---------------------------------------------------------------------------
+# r4: batch-vectorized qgram / cosine vs their scalar Counter oracles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("alphabet", ["ab", "abcde fgh", "àbçdé 日本語", "a b"])
+def test_char_wb_vectorized_matches_scalar(alphabet):
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(hash(alphabet) % (2**31))
+    s1 = [_rand_str(rng, alphabet, 25) for _ in range(300)]
+    s2 = [_rand_str(rng, alphabet, 25) for _ in range(300)]
+    s1 += ["", " ", "a", "ab cd", "Aa  bB", "x" * 200]
+    s2 += ["", "a", " ", "ab", "aA Bb ", "x" * 199 + "y"]
+    got_q = sm.qgram_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    got_c = sm.cosine_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        eq = sm.qgram_sim(x, y)
+        ec = sm.cosine_sim(x, y)
+        if np.isnan(eq):
+            assert np.isnan(got_q[i]), (x, y)
+        else:
+            assert got_q[i] == eq, (x, y)  # same int counts -> bit-equal
+        if np.isnan(ec):
+            assert np.isnan(got_c[i]), (x, y)
+        else:
+            assert got_c[i] == ec, (x, y)
+
+
+@pytest.mark.parametrize("nm", [(2, 3), (3, 5), (1, 1), (4, 4)])
+def test_char_wb_vectorized_ngram_ranges(nm):
+    """The generalized (n_min, n_max) path incl. the count-once-and-break
+    short-token branch and the wide-row (void) gram-identity fallback."""
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(17)
+    s1 = [_rand_str(rng, "ab cd", 12) for _ in range(200)] + ["a b c", "xyz"]
+    s2 = [_rand_str(rng, "ab cd", 12) for _ in range(200)] + ["a", "zyx w"]
+    q, c = sm._char_wb_sims_np(s1, s2, *nm)
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        eq = sm.qgram_sim(x, y, ngram=nm)
+        ec = sm.cosine_sim(x, y, ngram=nm)
+        assert (np.isnan(q[i]) and np.isnan(eq)) or q[i] == eq, (x, y, nm)
+        assert (np.isnan(c[i]) and np.isnan(ec)) or c[i] == ec, (x, y, nm)
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(_texts, _texts)
+    def test_hypothesis_char_wb_family(xs, ys):
+        from recordlinkage_spark import stringmetrics as sm
+
+        n = min(len(xs), len(ys))
+        s1, s2 = pd.Series(xs[:n]), pd.Series(ys[:n])
+        vq = sm.qgram_batch(s1, s2).to_numpy()
+        vc = sm.cosine_batch(s1, s2).to_numpy()
+        for i in range(n):
+            x, y = xs[i], ys[i]
+            eq = sm.qgram_sim(x, y)
+            ec = sm.cosine_sim(x, y)
+            assert (np.isnan(vq[i]) and np.isnan(eq)) or vq[i] == eq
+            assert (np.isnan(vc[i]) and np.isnan(ec)) or vc[i] == ec
