@@ -569,6 +569,32 @@ def q_eval_measures(spark, sf):
     )
 
 
+def q_reduction_ratio_multipass(spark, sf):
+    """Per-pass pair counts + reduction ratio of a multi-pass Index
+    (Block(lang,source) ∪ SortedNeighbourhood(n_chars, w=3)) plus the
+    union row — drives Index.pass_stats / measures.reduction_ratio
+    end-to-end (reference logs the same per-pass stats,
+    recordlinkage/base.py:127-159; ratio recordlinkage/measures.py:29-59)."""
+    from recordlinkage_spark.indexing import (
+        Block, Index, SortedNeighbourhood, full_index_size,
+    )
+
+    docs = _t(spark, sf, "documents")
+    idx = Index([Block(["lang", "source"]),
+                 SortedNeighbourhood("n_chars", window=3)])
+    union = idx.index(docs, id_col="doc_id", log_stats=True)
+    n_full = full_index_size(docs.count())
+    rows = [
+        (s["pass"], s["pairs"], round(s["reduction_ratio"], 6))
+        for s in idx.pass_stats
+    ]
+    n_union = union.count()
+    rows.append(("Union", n_union, round(1.0 - n_union / n_full, 6)))
+    return spark.createDataFrame(
+        rows, "pass_name string, pairs long, reduction_ratio double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -634,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_classify": q_kmeans_classify,
         "nb_classify": q_nb_classify,
         "eval_measures": q_eval_measures,
+        "reduction_ratio_multipass": q_reduction_ratio_multipass,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
     }
@@ -1064,5 +1091,40 @@ def oracle_sql() -> dict[str, str]:
               round(2.0 * (tp::DOUBLE / nullif(tp + fp, 0)) * (tp::DOUBLE / nullif(tp + fn, 0))
                     / nullif((tp::DOUBLE / nullif(tp + fp, 0)) + (tp::DOUBLE / nullif(tp + fn, 0)), 0), 6) AS fscore
             FROM cnt
+        """,
+        "reduction_ratio_multipass": """
+            WITH fullsz AS (
+              SELECT cnt * (cnt - 1) // 2 AS f
+              FROM (SELECT count(*) AS cnt FROM documents)
+            ),
+            blk AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id > b.doc_id
+            ),
+            sni AS (
+              WITH keys AS (SELECT DISTINCT n_chars FROM documents WHERE n_chars IS NOT NULL),
+              r AS (SELECT n_chars, dense_rank() OVER (ORDER BY n_chars) AS rk FROM keys),
+              d AS (SELECT doc_id, rk FROM documents JOIN r USING (n_chars))
+              SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM d a JOIN d b ON abs(a.rk - b.rk) <= 1 AND a.doc_id > b.doc_id
+            ),
+            uni AS (
+              SELECT id_1, id_2 FROM blk UNION SELECT id_1, id_2 FROM sni
+            )
+            SELECT 'Block' AS pass_name,
+                   (SELECT count(*) FROM blk) AS pairs,
+                   round(1.0 - (SELECT count(*) FROM blk)::DOUBLE / f, 6) AS reduction_ratio
+            FROM fullsz
+            UNION ALL
+            SELECT 'SortedNeighbourhood',
+                   (SELECT count(*) FROM sni),
+                   round(1.0 - (SELECT count(*) FROM sni)::DOUBLE / f, 6)
+            FROM fullsz
+            UNION ALL
+            SELECT 'Union',
+                   (SELECT count(*) FROM uni),
+                   round(1.0 - (SELECT count(*) FROM uni)::DOUBLE / f, 6)
+            FROM fullsz
         """,
     }
