@@ -45,7 +45,7 @@ class OneToOneLinking:
     """
 
     def __init__(self, driver_threshold: int = 5_000_000,
-                 prewave_min_rows: int = 100_000, prewave_rounds: int = 2):
+                 prewave_min_rows: int | None = None, prewave_rounds: int = 2):
         # Below this pair count the exact sequential greedy runs on the
         # driver in one shot. Above it, compute() processes the pairs in
         # RANK-RANGE CHUNKS of this size (r3): sequential greedy only
@@ -56,13 +56,18 @@ class OneToOneLinking:
         # rounds (measured 2.41x the driver path at 10M pairs; the
         # chunked path replaces it).
         self.driver_threshold = driver_threshold
-        # Chunks larger than prewave_min_rows run prewave_rounds
-        # distributed greedy waves BEFORE the driver pull (r4): each wave
-        # accepts every alive pair that is min on both its endpoints and
-        # kills its conflicts — exactly the wave-fixpoint step of the
-        # class docstring, so the accepted set is a provable prefix of
-        # sequential greedy and only the unresolved tangle (typically
-        # <10% of the chunk) crosses to the driver.
+        # OPT-IN (r4): chunks larger than prewave_min_rows run
+        # prewave_rounds distributed greedy waves BEFORE the driver pull:
+        # each wave accepts every alive pair that is min on both its
+        # endpoints and kills its conflicts — exactly the wave-fixpoint
+        # step of the class docstring, so the accepted set is a provable
+        # prefix of sequential greedy and only the unresolved tangle
+        # crosses to the driver. Measured at 10M pairs / K=5M chunks the
+        # waves are SHUFFLE-BOUND and cost more wall-clock than the pull
+        # saves (4.1x vs 0.35x of the one-shot driver path, PLANS.md r4),
+        # so the default is OFF; enable it when the driver pull itself is
+        # the memory constraint (chunks near driver capacity) rather
+        # than time.
         self.prewave_min_rows = prewave_min_rows
         self.prewave_rounds = prewave_rounds
 
@@ -218,7 +223,9 @@ class OneToOneLinking:
                         break
                     bound, chunk, chunk_n = b2, c2, c2n
             wave_kept = None
-            if chunk_n > self.prewave_min_rows and self.prewave_rounds > 0:
+            if (self.prewave_min_rows is not None
+                    and chunk_n > self.prewave_min_rows
+                    and self.prewave_rounds > 0):
                 chunk, wave_kept = self._wave_prune(chunk, order_col)
             tangle_kept = self._greedy_pandas(
                 chunk.toPandas(), order_col, set(), set()

@@ -39,9 +39,25 @@ def main(cpus: int, n_docs: int) -> None:
     out = pipe.run(docs, id_col="doc_id", text_col="text")
     out["clusters"].count()
     secs = time.time() - t0
+
+    # planted-dup recall + dropped-bucket accumulators (r4: the sf1-scale
+    # stage-breakdown record in BENCH/BASELINE.md needs both)
+    from recordlinkage_spark import measures
+
+    t = truth.filter(F.col("kind").isin(["exact", "near"])).select(
+        F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2")
+    )
+    id_map = docs.select("doc_id", "url")
+    clusters = out["clusters"].join(id_map, "doc_id").select(
+        F.col("url").alias("id"), "cluster_id"
+    )
+    rec = measures.cluster_pair_recall(t, clusters, id_col="id")
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs, "gen_secs": round(t_gen, 1),
-        "total_secs": round(secs, 2), "stages": pipe.metrics,
+        "total_secs": round(secs, 2),
+        "docs_per_sec": round(n_docs / secs, 1),
+        "dup_pair_recall": round(rec, 5),
+        "stages": pipe.metrics,
     }, indent=2))
     spark.stop()
 
