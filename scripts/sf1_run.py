@@ -11,7 +11,10 @@ LSH bucket caps + dropped-bucket accumulators, AQE skew handling, and
 the broadcast-verify count-gated fallback — and to record the per-stage
 breakdown plus planted-dup recall.
 
-Usage: python scripts/sf1_run.py [n_docs] [slots] [max_wait_min]
+Usage: python scripts/sf1_run.py [n_docs] [slots] [max_wait_min] [boiler_pct]
+
+boiler_pct > 0 plants the boilerplate mega-bucket hazard (see
+profile_stages.py) so the record shows the caps firing at scale.
 """
 from __future__ import annotations
 
@@ -47,6 +50,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     max_wait_min = int(sys.argv[3]) if len(sys.argv) > 3 else 90
+    boiler_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     deadline = time.time() + max_wait_min * 60
     pre = probe()
@@ -63,7 +67,7 @@ def main() -> None:
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "profile_stages.py"),
-         str(slots), str(n_docs)],
+         str(slots), str(n_docs), str(boiler_pct)],
         capture_output=True, text=True, cwd=str(REPO), timeout=7200,
     )
     # profile_stages prints indented (multi-line) JSON: decode from the
@@ -82,6 +86,7 @@ def main() -> None:
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_docs": n_docs,
         "slots": slots,
+        "boiler_pct": boiler_pct,
         "probe_pre": pre,
         "probe_post": post,
         "host_degraded": forced or not post.get("healthy"),
