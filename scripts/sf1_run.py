@@ -92,8 +92,21 @@ def main() -> None:
         "host_degraded": forced or not post.get("healthy"),
         "wall_secs": round(time.time() - t0, 1),
         "result": result,
-        "stderr_tail": out.stderr[-500:] if result is None else None,
+        "stderr_tail": None,
     }
+    if result is None:
+        # keep the root-cause lines, not the shutdown-hook tail
+        err_lines = [
+            ln for ln in out.stderr.splitlines()
+            if any(k in ln for k in
+                   ("Error", "Exception", "Caused by", "OutOfMemory",
+                    "Traceback", "raise ", "killed"))
+        ]
+        record["stderr_tail"] = (err_lines[:40] or
+                                 out.stderr[-2000:].splitlines()[-20:])
+        log = REPO / "BENCH" / f"sf1_fail_{int(time.time())}.stderr"
+        log.write_text(out.stderr[-200_000:])
+        record["stderr_log"] = str(log)
     path = REPO / "BENCH" / "SF1_RUN.json"
     existing = json.loads(path.read_text()) if path.exists() else []
     existing.append(record)
