@@ -134,6 +134,53 @@ def q_compare_string_damerau(spark, sf):
     return out.select("id_1", "id_2", _r6(F.col("name_dl")).alias("name_dl"))
 
 
+def q_compare_string_qgram(spark, sf):
+    """qgram (Σmin/max-total) + cosine over char_wb 2-gram counts
+    (reference algorithms/string.py:85-118 / sklearn char_wb analyzer),
+    computed by the r4 batch-vectorized hashed-gram kernels
+    (stringmetrics.qgram_batch/cosine_batch). Input is a two-token ASCII
+    string (name + segment) so tokenization, padding, and multiset
+    arithmetic are all exercised; the DuckDB oracle rebuilds the same
+    n-gram multisets in SQL (generate_series over padded tokens)."""
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    cust = cust.withColumn("name_seg", F.concat_ws(" ", "c_name", "c_mktsegment"))
+    out = (
+        Compare()
+        .string("name_seg", "name_seg", "qgram", label="name_qgram")
+        .string("name_seg", "name_seg", "cosine", label="name_cos")
+        .compute(pairs, cust, id_col="c_custkey")
+    )
+    return out.select(
+        "id_1", "id_2",
+        _r6(F.col("name_qgram")).alias("name_qgram"),
+        _r6(F.col("name_cos")).alias("name_cos"),
+    )
+
+
+def q_neighbourhood_block_index(spark, sf):
+    """NeighbourhoodBlock dedup with all three generalizations active:
+    a rank-window field (windows=3 on mktsegment with synthesized nulls
+    acting as wildcards, max_nulls=1) plus an exact field (nationkey) and
+    max_non_matches=0 (reference contrib/index/neighbourhoodblock/
+    neighbourhoodblock.py:218-225). Oracle: the identical accept rule in
+    DuckDB over dense_rank() rank vectors."""
+    from recordlinkage_spark.indexing import NeighbourhoodBlock
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_n"),
+    )
+    nb = NeighbourhoodBlock(
+        ["c_nationkey", "seg_n"], max_nulls=1, max_non_matches=0, windows=[1, 3]
+    )
+    return nb.index(cust, id_col="c_custkey")
+
+
 def q_phonetic_codes(spark, sf):
     """soundex / nysiis / metaphone codes (recordlinkage/preprocessing/
     encoding.py:39-93). No DuckDB phonetic functions -> rows-only check;
@@ -628,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_string_levenshtein": q_compare_string_levenshtein,
         "compare_string_jaro": q_compare_string_jaro,
         "compare_string_damerau": q_compare_string_damerau,
+        "compare_string_qgram": q_compare_string_qgram,
+        "neighbourhood_block_index": q_neighbourhood_block_index,
         "compare_date_orders": q_compare_date_orders,
         "compare_frequency": q_compare_frequency,
         "compare_geo_supplier": q_compare_geo_supplier,
@@ -763,6 +812,93 @@ def oracle_sql() -> dict[str, str]:
               round(1.0 - damerau_levenshtein(name1, name2)::DOUBLE
                     / greatest(length(name1), length(name2)), 6) AS name_dl
             FROM ({_CUSTOMER_PAIRS_SQL})
+        """,
+        # char_wb 2-gram multisets rebuilt in SQL: lowercase, whitespace-split,
+        # pad each token with one space per side, emit every 2-gram
+        # (len(tok)+1 of them), count per (string, gram). qgram =
+        # sum(min)/max(totals); cosine = dot/(||u||*||v||) — the exact
+        # semantics of stringmetrics.char_wb_ngrams/qgram_sim/cosine_sim
+        # (inputs are ASCII so accent stripping is the identity).
+        "compare_string_qgram": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+                     a.c_name || ' ' || a.c_mktsegment AS s1,
+                     b.c_name || ' ' || b.c_mktsegment AS s2
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey AND a.c_custkey > b.c_custkey
+            ),
+            strs AS (
+              SELECT DISTINCT s FROM (
+                SELECT s1 AS s FROM pairs UNION ALL SELECT s2 FROM pairs
+              )
+            ),
+            toks AS (
+              SELECT s, unnest(regexp_split_to_array(lower(s), '\\s+')) AS tok
+              FROM strs
+            ),
+            gram_pos AS (
+              SELECT s, ' ' || tok || ' ' AS w,
+                     unnest(generate_series(1, length(tok) + 1)) AS i
+              FROM toks WHERE tok <> ''
+            ),
+            counts AS (
+              SELECT s, substring(w, i, 2) AS g, count(*)::DOUBLE AS c
+              FROM gram_pos GROUP BY s, g
+            ),
+            tot AS (
+              SELECT s, sum(c) AS t, sqrt(sum(c * c)) AS nrm
+              FROM counts GROUP BY s
+            ),
+            ovl AS (
+              SELECT p.id_1, p.id_2,
+                     sum(least(c1.c, c2.c)) AS m, sum(c1.c * c2.c) AS dot
+              FROM pairs p
+              JOIN counts c1 ON c1.s = p.s1
+              JOIN counts c2 ON c2.s = p.s2 AND c2.g = c1.g
+              GROUP BY p.id_1, p.id_2
+            )
+            SELECT p.id_1, p.id_2,
+                   round(coalesce(o.m, 0) / greatest(t1.t, t2.t), 6)
+                     AS name_qgram,
+                   round(coalesce(o.dot, 0) / (t1.nrm * t2.nrm), 6) AS name_cos
+            FROM pairs p
+            JOIN tot t1 ON t1.s = p.s1
+            JOIN tot t2 ON t2.s = p.s2
+            LEFT JOIN ovl o ON o.id_1 = p.id_1 AND o.id_2 = p.id_2
+        """,
+        # NeighbourhoodBlock accept rule verbatim (contrib
+        # neighbourhoodblock.py:218-225): dense ranks over the distinct
+        # non-null values per field, null rank = wildcard;
+        # keep iff matches + min(nulls, max_nulls) >= n_keys - max_non_matches
+        # with (n_keys=2, windows=[1,3], max_nulls=1, max_non_matches=0).
+        "neighbourhood_block_index": """
+            WITH base AS (
+              SELECT c_custkey AS id, c_nationkey AS k0,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                          ELSE c_mktsegment END AS k1
+              FROM customer
+            ),
+            r0 AS (
+              SELECT _v, dense_rank() OVER (ORDER BY _v) AS rk
+              FROM (SELECT DISTINCT k0 AS _v FROM base WHERE k0 IS NOT NULL)
+            ),
+            r1 AS (
+              SELECT _v, dense_rank() OVER (ORDER BY _v) AS rk
+              FROM (SELECT DISTINCT k1 AS _v FROM base WHERE k1 IS NOT NULL)
+            ),
+            ranks AS (
+              SELECT b.id, r0.rk AS rk0, r1.rk AS rk1
+              FROM base b
+              LEFT JOIN r0 ON r0._v = b.k0
+              LEFT JOIN r1 ON r1._v = b.k1
+            )
+            SELECT a.id AS id_1, b.id AS id_2
+            FROM ranks a JOIN ranks b ON a.id > b.id
+            WHERE coalesce((abs(a.rk0 - b.rk0) <= 0)::INT, 0)
+                  + coalesce((abs(a.rk1 - b.rk1) <= 1)::INT, 0)
+                  + least((a.rk0 IS NULL OR b.rk0 IS NULL)::INT
+                          + (a.rk1 IS NULL OR b.rk1 IS NULL)::INT, 1)
+                  >= 2
         """,
         "compare_date_orders": """
             SELECT a.o_orderkey AS id_1, b.o_orderkey AS id_2,
