@@ -537,24 +537,6 @@ def metaphone(s: str) -> str:
 # batch (pandas) wrappers — the shapes pandas UDFs consume
 # ---------------------------------------------------------------------------
 
-def _pairwise(kernel):
-    # no type hints: pandas_udf must take the legacy (returnType) path
-    def batch(s1, s2):
-        out = np.full(len(s1), np.nan)
-        a1 = s1.to_numpy(dtype=object)
-        a2 = s2.to_numpy(dtype=object)
-        for i in range(len(out)):
-            x, y = a1[i], a2[i]
-            if x is None or y is None or (isinstance(x, float) and np.isnan(x)) or (
-                isinstance(y, float) and np.isnan(y)
-            ):
-                continue
-            out[i] = kernel(str(x), str(y))
-        return pd.Series(out)
-
-    return batch
-
-
 # ---------------------------------------------------------------------------
 # batch-vectorized jaro / jaro-winkler / damerau (r3)
 #
@@ -574,7 +556,8 @@ _DL_CHUNK = 1024
 
 def _valid_pairs(s1: pd.Series, s2: pd.Series):
     """(out, idx, list1, list2): NaN-prefilled output plus the positions
-    and str-coerced values of the non-null pairs (the _pairwise contract)."""
+    and str-coerced values of the non-null pairs (null pairs stay NaN —
+    the contract every *_batch kernel shares)."""
     out = np.full(len(s1), np.nan)
     a1 = s1.to_numpy(dtype=object)
     a2 = s2.to_numpy(dtype=object)
@@ -758,8 +741,179 @@ def _jaro_family_batch(winkler: bool):
 
 jaro_batch = _jaro_family_batch(winkler=False)
 jaro_winkler_batch = _jaro_family_batch(winkler=True)
-smith_waterman_batch = _pairwise(smith_waterman_sim)
-lcs_batch = _pairwise(lcs_sim)
+
+
+# ---------------------------------------------------------------------------
+# batch-vectorized smith_waterman / lcs (r4) — the last two per-pair
+# Python kernels on the Compare.string path. Both DPs vectorize across
+# the Arrow batch dimension:
+#   - smith_waterman: anti-diagonal sweep. Every cell on diagonal d
+#     depends only on diagonals d-1 / d-2 (including the trace-aware gap
+#     bits), so one numpy step fills that diagonal for EVERY pair at
+#     once. Same float64 op order as the scalar -> bit-identical.
+#   - lcs: the inner longest-common-substring pass is row-vectorizable
+#     (cur[y] = prev[y-1] + 1 on equality has no within-row dependency);
+#     the iterated-excision outer loop re-batches the still-active pairs
+#     each round. Integer DP -> exact.
+# Pairs longer than the cutoffs fall back to the scalar oracles, which
+# also remain the differential-test reference (test_np_kernels.py).
+# ---------------------------------------------------------------------------
+
+_VEC_MAX_LEN_SW = 64    # cubes are (chunk, L1+1, L2+1): f64 H + 2 bool traces
+_SW_CHUNK = 1024
+_VEC_MAX_LEN_LCS = 256  # per-row temporaries are (batch, L2+1) int32
+# Padding sentinels: above every codepoint and distinct from each other,
+# so a padded position never equals a real character nor the other
+# side's padding.
+_SENT_A = np.uint32(0xFFFFFFFE)
+_SENT_B = np.uint32(0xFFFFFFFD)
+
+
+def _encode_pad_sentinel(strs: list[str], sent: np.uint32):
+    M, lens = _encode_pad(strs)
+    M[np.arange(M.shape[1])[None, :] >= lens[:, None]] = sent
+    return M, lens
+
+
+def _smith_waterman_np(
+    strs1: list[str],
+    strs2: list[str],
+    match: float = 5.0,
+    mismatch: float = -5.0,
+    gap_start: float = -5.0,
+    gap_continue: float = -1.0,
+) -> np.ndarray:
+    """Highest local-alignment score per pair, anti-diagonal sweep.
+
+    Requires mismatch/gap penalties <= 0 (true for the reference's
+    parameterization, string.py:155-357): then every path through the
+    sentinel-padded region strictly decreases, so max over the padded
+    matrix equals max over the valid region and no per-pair masking is
+    needed."""
+    if mismatch > 0 or gap_start > 0 or gap_continue > 0:
+        raise ValueError("vectorized smith_waterman requires penalties <= 0")
+    A, _ = _encode_pad_sentinel(strs1, _SENT_A)
+    Bm, _ = _encode_pad_sentinel(strs2, _SENT_B)
+    B, L1, L2 = len(strs1), A.shape[1], Bm.shape[1]
+    eq = A[:, :, None] == Bm[:, None, :]  # (B, L1, L2)
+    H = np.zeros((B, L1 + 1, L2 + 1))
+    trH = np.zeros((B, L1 + 1, L2 + 1), dtype=bool)  # scalar's trace bit 2
+    trV = np.zeros((B, L1 + 1, L2 + 1), dtype=bool)  # scalar's trace bit 4
+    for d in range(2, L1 + L2 + 1):
+        xs = np.arange(max(1, d - L2), min(L1, d - 1) + 1)
+        ys = d - xs
+        diag = H[:, xs - 1, ys - 1] + np.where(eq[:, xs - 1, ys - 1], match, mismatch)
+        gh = H[:, xs - 1, ys] + np.where(trH[:, xs - 1, ys], gap_continue, gap_start)
+        gv = H[:, xs, ys - 1] + np.where(trV[:, xs, ys - 1], gap_continue, gap_start)
+        score = np.maximum(np.maximum(diag, gh), gv)
+        pos = score > 0
+        score = np.where(pos, score, 0.0)
+        H[:, xs, ys] = score
+        trH[:, xs, ys] = pos & (score == gh)
+        trV[:, xs, ys] = pos & (score == gv)
+    return H.reshape(B, -1).max(axis=1)
+
+
+def smith_waterman_batch(s1, s2):
+    """Mean-normalized Smith-Waterman at the reference defaults,
+    vectorized for pairs with both strings <= _VEC_MAX_LEN_SW chars
+    (chunked so the DP cubes stay ~<=35 MB); longer pairs use the scalar
+    oracle kernel."""
+    out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+    if len(idx) == 0:
+        return pd.Series(out)
+    l1 = np.fromiter((len(x) for x in strs1), dtype=np.int64, count=len(strs1))
+    l2 = np.fromiter((len(x) for x in strs2), dtype=np.int64, count=len(strs2))
+    nz = (l1 > 0) & (l2 > 0)
+    out[idx[~nz]] = 0.0  # scalar early-return for an empty side
+    short = nz & (l1 <= _VEC_MAX_LEN_SW) & (l2 <= _VEC_MAX_LEN_SW)
+    sub = np.nonzero(short)[0]
+    for c0 in range(0, len(sub), _SW_CHUNK):
+        chunk = sub[c0 : c0 + _SW_CHUNK]
+        hi = _smith_waterman_np(
+            [strs1[i] for i in chunk], [strs2[i] for i in chunk]
+        )
+        out[idx[chunk]] = 2.0 * hi / ((l1[chunk] + l2[chunk]) * 5.0)
+    for i in np.nonzero(nz & ~short)[0]:
+        out[idx[i]] = smith_waterman_sim(strs1[i], strs2[i])
+    return pd.Series(out)
+
+
+def _lcs_once_np(A: np.ndarray, Bm: np.ndarray):
+    """Vectorized _lcs_once across the batch: per pair, the length and
+    (1-based) end positions of the first-found longest common substring
+    — same tie-breaking as the scalar (first row with a strictly longer
+    match; first column achieving that row's max)."""
+    Bn, L1, L2 = A.shape[0], A.shape[1], Bm.shape[1]
+    prev = np.zeros((Bn, L2 + 1), dtype=np.int32)
+    cur = np.zeros((Bn, L2 + 1), dtype=np.int32)
+    best = np.zeros(Bn, dtype=np.int32)
+    x_end = np.zeros(Bn, dtype=np.int64)
+    y_end = np.zeros(Bn, dtype=np.int64)
+    for x in range(1, L1 + 1):
+        eq_row = A[:, x - 1, None] == Bm  # (Bn, L2)
+        cur[:, 1:] = np.where(eq_row, prev[:, :-1] + 1, 0)
+        rowmax = cur.max(axis=1)
+        upd = rowmax > best
+        if upd.any():
+            am = cur.argmax(axis=1)
+            best = np.where(upd, rowmax, best)
+            x_end = np.where(upd, x, x_end)
+            y_end = np.where(upd, am, y_end)
+        prev, cur = cur, prev
+    return best, x_end, y_end
+
+
+def _lcs_accumulate_np(strs1: list[str], strs2: list[str], min_len: int) -> np.ndarray:
+    """Batched iterated-LCS accumulation (scalar lcs_sim's accumulate):
+    each round runs the vectorized LCS pass over the still-active pairs,
+    then excises the found substring per pair (O(1) string slices)."""
+    n = len(strs1)
+    acc = np.zeros(n, dtype=np.int64)
+    cur1, cur2 = list(strs1), list(strs2)
+    active = [i for i in range(n) if min(len(cur1[i]), len(cur2[i])) >= min_len]
+    while active:
+        A, _ = _encode_pad_sentinel([cur1[i] for i in active], _SENT_A)
+        Bm, _ = _encode_pad_sentinel([cur2[i] for i in active], _SENT_B)
+        best, x_end, y_end = _lcs_once_np(A, Bm)
+        nxt = []
+        for k, i in enumerate(active):
+            ln = int(best[k])
+            if ln < min_len:
+                continue
+            acc[i] += ln
+            xe, ye = int(x_end[k]), int(y_end[k])
+            cur1[i] = cur1[i][: xe - ln] + cur1[i][xe:]
+            cur2[i] = cur2[i][: ye - ln] + cur2[i][ye:]
+            if min(len(cur1[i]), len(cur2[i])) >= min_len:
+                nxt.append(i)
+        active = nxt
+    return acc
+
+
+def lcs_batch(s1, s2):
+    """Dice-normalized iterated-LCS (both orderings averaged, scalar
+    lcs_sim defaults), vectorized for pairs with both strings <=
+    _VEC_MAX_LEN_LCS chars; longer pairs use the scalar oracle kernel."""
+    out, idx, strs1, strs2 = _valid_pairs(s1, s2)
+    if len(idx) == 0:
+        return pd.Series(out)
+    l1 = np.fromiter((len(x) for x in strs1), dtype=np.int64, count=len(strs1))
+    l2 = np.fromiter((len(x) for x in strs2), dtype=np.int64, count=len(strs2))
+    nz = (l1 > 0) & (l2 > 0)
+    out[idx[~nz]] = 0.0  # scalar normalize() returns 0.0 for an empty side
+    short = nz & (l1 <= _VEC_MAX_LEN_LCS) & (l2 <= _VEC_MAX_LEN_LCS)
+    sub = np.nonzero(short)[0]
+    if len(sub):
+        sub1 = [strs1[i] for i in sub]
+        sub2 = [strs2[i] for i in sub]
+        a12 = _lcs_accumulate_np(sub1, sub2, 2)
+        a21 = _lcs_accumulate_np(sub2, sub1, 2)
+        tot = (l1[sub] + l2[sub]).astype(np.float64)
+        out[idx[sub]] = (a12 * 2.0 / tot + a21 * 2.0 / tot) / 2.0
+    for i in np.nonzero(nz & ~short)[0]:
+        out[idx[i]] = lcs_sim(strs1[i], strs2[i])
+    return pd.Series(out)
 
 
 # ---------------------------------------------------------------------------

@@ -457,3 +457,62 @@ if _HAS_HYP:
             ec = sm.cosine_sim(x, y)
             assert (np.isnan(vq[i]) and np.isnan(eq)) or vq[i] == eq
             assert (np.isnan(vc[i]) and np.isnan(ec)) or vc[i] == ec
+
+
+# ---------------------------------------------------------------------------
+# r4: batch-vectorized smith_waterman / lcs vs their scalar DP oracles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("alphabet", ["ab", "abcde", "abcdefghij ", "àbçdé日本語"])
+def test_sw_lcs_vectorized_match_scalar(alphabet):
+    from recordlinkage_spark import stringmetrics as sm
+
+    rng = np.random.RandomState(hash(alphabet) % (2**31))
+    s1 = [_rand_str(rng, alphabet, 20) for _ in range(300)]
+    s2 = [_rand_str(rng, alphabet, 20) for _ in range(300)]
+    # edge cases + pairs past both vectorization cutoffs (scalar fallback)
+    s1 += ["", "a", "ca", "x" * 300, "abcdef" * 20]
+    s2 += ["", "", "abc", "x" * 299 + "y", "abcdef" * 19]
+    got_sw = sm.smith_waterman_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    got_lc = sm.lcs_batch(pd.Series(s1), pd.Series(s2)).to_numpy()
+    for i, (x, y) in enumerate(zip(s1, s2)):
+        # same float64 op order -> bit-identical, not just approx
+        assert got_sw[i] == sm.smith_waterman_sim(x, y), (x, y)
+        assert got_lc[i] == sm.lcs_sim(x, y), (x, y)
+
+
+def test_sw_lcs_null_contract():
+    from recordlinkage_spark import stringmetrics as sm
+
+    s1 = pd.Series(["abc", None, np.nan, "xy"])
+    s2 = pd.Series([None, "abc", "q", "xy"])
+    for fn in (sm.smith_waterman_batch, sm.lcs_batch):
+        out = fn(s1, s2).to_numpy()
+        assert np.isnan(out[0]) and np.isnan(out[1]) and np.isnan(out[2])
+        assert out[3] == 1.0
+
+
+def test_sw_vectorized_rejects_positive_penalties():
+    from recordlinkage_spark import stringmetrics as sm
+
+    with pytest.raises(ValueError):
+        sm._smith_waterman_np(["ab"], ["ab"], mismatch=1.0)
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(_texts, _texts)
+    def test_hypothesis_sw_lcs(xs, ys):
+        from recordlinkage_spark import stringmetrics as sm
+
+        n = min(len(xs), len(ys))
+        s1, s2 = pd.Series(xs[:n]), pd.Series(ys[:n])
+        vs = sm.smith_waterman_batch(s1, s2).to_numpy()
+        vl = sm.lcs_batch(s1, s2).to_numpy()
+        for i in range(n):
+            x, y = xs[i], ys[i]
+            es = sm.smith_waterman_sim(x, y)
+            el = sm.lcs_sim(x, y)
+            assert (np.isnan(vs[i]) and np.isnan(es)) or vs[i] == es
+            assert (np.isnan(vl[i]) and np.isnan(el)) or vl[i] == el
