@@ -425,6 +425,23 @@ def q_embedding_near_dup_lsh(spark, sf):
     return out.select("id_1", "id_2", _r6(F.col("cosine")).alias("cosine"))
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-flat top-k (trained spherical-kmeans coarse quantizer,
+    ann.ivf_topk). rows-only: the centroids come from a seeded k-means,
+    which DuckDB SQL can't reproduce; determinism is golden-pinned
+    (tests/test_goldens.py) and recall is gated vs the exact baseline
+    (tests/test_recall_gates.py::test_ivf_topk_recall_vs_exact_cosine,
+    with full-probe == cosine_topk bit-exactness in tests/test_ann.py)."""
+    from recordlinkage_spark import ann
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=6, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # graph / post-classification (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------
@@ -699,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # graph
         "connected_components": q_connected_components,
         "one_to_many": q_one_to_many,

@@ -188,6 +188,9 @@ def main() -> None:
         ("ecm_50k", run_ecm),
         ("connected_components", run_cc),
         ("ann_topk", lambda: ann.cosine_topk(emb, emb.limit(50), k=10).count()),
+        ("ann_ivf_topk",
+         lambda: ann.ivf_topk(emb, emb.limit(50), k=10, n_lists=32,
+                              nprobe=8, seed=42).count()),
         ("embedding_near_dup_lsh", run_lsh_neardup),
     ]
 

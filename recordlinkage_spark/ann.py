@@ -18,6 +18,15 @@ Beyond-the-reference operator set for training-data pipelines (task brief):
   MinHash pass (minhash.bucket_pairs) — a degenerate bucket (zero
   vectors, boilerplate cell) is dropped at the cap instead of going
   quadratic.
+- ``ivf_topk``: IVF (inverted-file) search — a TRAINED coarse quantizer
+  (spherical k-means on a seeded driver-side sample) instead of LSH's
+  data-oblivious hyperplanes. Corpus vectors are assigned to their
+  nearest-centroid list in one matmul pass; a query probes only its
+  ``nprobe`` nearest lists. The probe table (query_id, list_id) is tiny
+  and BROADCAST, so the corpus side never shuffles — each partition
+  filters itself against the broadcast probes, which is the shape that
+  survives a 100 TB corpus (data-dependent lists also partition real
+  clustered data far more evenly than hyperplane cells).
 
 No per-row Python anywhere: every kernel stacks the Arrow batch into an
 (N, dim) ndarray and does matrix math (input_hint: vectorized
@@ -354,8 +363,6 @@ def lsh_topk(
 
     q_ids, Q = _collect_matrix(queries, id_col, vec_col,
                                caller="lsh_topk (query side)")
-    sort_idx = np.argsort(q_ids)
-    q_ids_sorted, Qn = q_ids[sort_idx], _normalize_rows(Q)[sort_idx]
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -363,6 +370,19 @@ def lsh_topk(
     joined = cands.join(cv, "neighbor_id")
     q_type = dict(queries.dtypes)[id_col]
     id_type = dict(corpus.dtypes)[id_col]
+    scored = _score_candidates(joined, q_ids, Q, q_type, id_type)
+    return _window_topk(scored, k)
+
+
+def _score_candidates(joined: DataFrame, q_ids: np.ndarray, Q: np.ndarray,
+                      q_type: str, id_type: str) -> DataFrame:
+    """Exact cosine for (query_id, neighbor_id, _cv) candidate rows.
+
+    One einsum per Arrow batch against the broadcast normalized query
+    matrix; query rows located by searchsorted on the sorted id array.
+    Shared verification kernel for the LSH and IVF paths."""
+    sort_idx = np.argsort(q_ids)
+    q_ids_sorted, Qn = q_ids[sort_idx], _normalize_rows(Q)[sort_idx]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,9 +400,12 @@ def lsh_topk(
                 }
             )
 
-    scored = joined.mapInPandas(
+    return joined.mapInPandas(
         score, schema=f"query_id {q_type}, neighbor_id {id_type}, cosine double"
     )
+
+
+def _window_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -391,3 +414,160 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF path (trained coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    df: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train spherical-k-means centroids on a seeded corpus sample.
+
+    Returns an L2-normalized (n_lists, dim) float64 centroid matrix.
+    Deterministic: the sample is seeded AND sorted by id before Lloyd
+    (toPandas partition order must not leak into the centroids), init
+    draws come from a seeded RandomState, and an emptied list keeps its
+    previous centroid. Training is driver-side numpy over at most
+    ``sample_rows`` vectors — the same bounded-unique-statistics shape as
+    the classifier fits (classifiers.py); assignment of the FULL corpus
+    is the distributed pass (``ivf_assign``)."""
+    total = df.count()
+    if total == 0:
+        raise ValueError("ivf_train: empty corpus")
+    frac = min(1.0, (sample_rows * 1.25) / total)
+    sample = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    sample = sample.limit(sample_rows)
+    pdf = sample.toPandas().sort_values(id_col).reset_index(drop=True)
+    X = _normalize_rows(_stack(pdf[vec_col]))
+    n = len(X)
+    k = min(n_lists, n)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # (n,)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C = _normalize_rows(C)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, list_id[, _cv]) — nearest-centroid list per vector.
+
+    One (batch, dim) @ (dim, n_lists) matmul per Arrow batch against the
+    broadcast centroid matrix; no shuffle. ``keep_vec=True`` carries the
+    vector through so the verify join is avoided entirely."""
+    Ct = np.ascontiguousarray(centroids.T)  # (dim, n_lists)
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{out_id} {id_type}, list_id int"
+    if keep_vec:
+        schema += ", _cv array<double>"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            V = _stack(pdf[vec_col])
+            lists = np.argmax(_normalize_rows(V) @ Ct, axis=1).astype(np.int32)
+            out = {out_id: pdf[id_col].to_numpy(), "list_id": lists}
+            if keep_vec:
+                out["_cv"] = list(V)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    sample_rows: int = 100_000,
+    train_iters: int = 10,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF-flat, cosine).
+
+    Plan shape (the part that matters at 100 TB):
+    1. train: spherical k-means on a seeded bounded sample (driver numpy).
+    2. assign: every corpus vector -> nearest-centroid ``list_id`` in one
+       broadcast-matmul pass, vector carried along (``keep_vec``) so no
+       second scan or join touches the corpus.
+    3. probe: each query's ``nprobe`` best lists computed on the driver
+       (queries are count-gated broadcastable, same contract as
+       ``cosine_topk``); the (query_id, list_id) probe table has
+       q * nprobe rows and is BROADCAST — the corpus side is filtered in
+       place, never shuffled, and a hot list costs a bigger scan on the
+       partitions that hold it rather than a skewed shuffle partition.
+    4. verify: exact cosine via the shared einsum kernel + window top-k.
+
+    ``nprobe >= n_lists`` probes every list, which makes the result
+    EXACTLY equal to ``cosine_topk`` (same deterministic tiebreak) — the
+    equivalence is pytest-pinned; recall at nprobe < n_lists is gated in
+    tests/test_recall_gates.py."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, n_lists, id_col, vec_col,
+            sample_rows=sample_rows, iters=train_iters, seed=seed,
+        )
+    n_lists = len(centroids)
+    nprobe = min(nprobe, n_lists)
+    spark = corpus.sparkSession
+
+    q_ids, Q = _collect_matrix(queries, id_col, vec_col,
+                               caller="ivf_topk (query side)")
+    q_type = dict(queries.dtypes)[id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], f"query_id {q_type}, neighbor_id {id_type}, cosine double, rank int"
+        )
+    # driver-side probe selection: (q, n_lists) matmul, top-nprobe lists
+    QS = _normalize_rows(Q) @ centroids.T
+    order = np.argsort(-QS, axis=1)[:, :nprobe]  # (q, nprobe)
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, nprobe),
+                "list_id": order.astype(np.int32).ravel(),
+            }
+        ),
+        schema=f"query_id {q_type}, list_id int",
+    )
+
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id", keep_vec=True
+    )
+    joined = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_cv")
+    )
+    scored = _score_candidates(joined, q_ids, Q, q_type, id_type)
+    return _window_topk(scored, k)

@@ -43,4 +43,5 @@ GOLDEN_QUERIES = [
     "embedding_near_dup_lsh",
     "ecm_params",
     "multimodal_features",
+    "ann_ivf_topk",
 ]

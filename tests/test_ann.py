@@ -112,3 +112,56 @@ def test_collect_matrix_guard_trips(spark):
     # under the limit: collects fine
     ids, M = ann._collect_matrix(big, "vec_id", "embedding", max_rows=500)
     assert len(ids) == 200 and M.shape == (200, 2)
+
+
+# ---------------------------------------------------------------------------
+# IVF (trained coarse quantizer) — round 4
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_planted_neardups(vectors):
+    """nprobe=2 of 8 lists must still put each planted near-dup at rank 1 —
+    a ~0.9999-cosine twin always quantizes to the same list as its query."""
+    queries = vectors.filter("vec_id < 5")
+    out = ann.ivf_topk(vectors, queries, k=3, n_lists=8, nprobe=2, seed=11)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    for q in range(5):
+        assert rows[(q, 1)]["neighbor_id"] == 100 + q
+        assert rows[(q, 1)]["cosine"] > 0.99
+
+
+def test_ivf_topk_full_probe_equals_exact(vectors):
+    """nprobe >= n_lists probes every list: IVF must equal cosine_topk
+    bit-for-bit (same deterministic tiebreak) — the exactness anchor."""
+    queries = vectors.filter("vec_id < 5")
+    exact = ann.cosine_topk(vectors, queries, k=4)
+    ivf = ann.ivf_topk(vectors, queries, k=4, n_lists=6, nprobe=6, seed=11)
+    e = sorted(map(tuple, exact.collect()))
+    a = sorted(map(tuple, ivf.collect()))
+    assert [(q, n, round(c, 9), r) for q, n, c, r in e] == \
+           [(q, n, round(c, 9), r) for q, n, c, r in a]
+
+
+def test_ivf_train_deterministic(vectors):
+    C1 = ann.ivf_train(vectors, n_lists=8, seed=11)
+    C2 = ann.ivf_train(vectors, n_lists=8, seed=11)
+    assert np.array_equal(C1, C2)
+    assert C1.shape == (8, 16)
+    # centroids are unit-norm (spherical k-means)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+
+
+def test_ivf_assign_covers_corpus(vectors):
+    C = ann.ivf_train(vectors, n_lists=8, seed=11)
+    assigned = ann.ivf_assign(vectors, C)
+    assert assigned.count() == vectors.count()
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+
+
+def test_ivf_query_guard_trips(vectors):
+    """The IVF query side goes through the same count-gated collect as
+    cosine_topk/lsh_topk: an over-ceiling query table is a diagnosed
+    ValueError naming the caller, not a driver OOM."""
+    with pytest.raises(ValueError, match="ivf_topk"):
+        ann._collect_matrix(vectors, "vec_id", "embedding", max_rows=10,
+                            caller="ivf_topk (query side)")
