@@ -425,6 +425,21 @@ def q_embedding_near_dup_lsh(spark, sf):
     return out.select("id_1", "id_2", _r6(F.col("cosine")).alias("cosine"))
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup semantic dedup (semdedup.semantic_dedup, Abbas et al.
+    2023): trained spherical-kmeans clusters, within-cluster exact
+    cosine edges, keep-min-id-per-component. rows-only: the coarse
+    quantizer is a seeded k-means DuckDB SQL can't reproduce;
+    determinism is golden-pinned (tests/test_goldens.py) and semantics
+    are pytest-gated (tests/test_semdedup.py: single-cluster edges ==
+    exact all-pairs cosine, multi-cluster recall floor >= 0.95 on
+    planted dups, mega-cluster cap drop under skew)."""
+    from recordlinkage_spark.semdedup import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, n_lists=8, threshold=0.35, seed=42)
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF-flat top-k (trained spherical-kmeans coarse quantizer,
     ann.ivf_topk). rows-only: the centroids come from a seeded k-means,
@@ -717,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         # graph
         "connected_components": q_connected_components,
         "one_to_many": q_one_to_many,

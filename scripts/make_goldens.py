@@ -1,4 +1,4 @@
-"""Regenerate the committed golden CSVs for the 7 oracle-less driver
+"""Regenerate the committed golden CSVs for the oracle-less driver
 queries (tests/goldens/*.csv, asserted by tests/test_goldens.py).
 
 Run ONLY when an intentional semantic change is made to one of these

@@ -1,13 +1,14 @@
 """Canonicalization shared by scripts/make_goldens.py and
 tests/test_goldens.py.
 
-The 7 seed/hash-dependent driver queries have no DuckDB oracle
-(CORRECTNESS records them rows-only), so their outputs are pinned as
-committed golden CSVs at sf0.01 instead (VERDICT r3 next-round #2):
-recall floors catch quality drift, goldens catch silent semantic drift.
+The seed/hash-dependent driver queries listed in GOLDEN_QUERIES have no
+DuckDB oracle (CORRECTNESS records them rows-only), so their outputs are
+pinned as committed golden CSVs at sf0.01 instead (VERDICT r3 next-round
+#2): recall floors catch quality drift, goldens catch silent semantic
+drift.
 
 Canonical form: columns sorted by name, every value rendered to a
-stable string (floats via round(9) + %.9g — all 7 queries already round
+stable string (floats via round(9) + %.9g — these queries already round
 their float outputs to 1e-4..1e-6, so this is exact), rows sorted.
 Partition order, float noise below 1e-9, and int32/int64 width
 differences can therefore never flap a golden.
@@ -44,4 +45,5 @@ GOLDEN_QUERIES = [
     "ecm_params",
     "multimodal_features",
     "ann_ivf_topk",
+    "semantic_dedup",
 ]
