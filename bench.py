@@ -92,6 +92,7 @@ def main() -> None:
     from recordlinkage_spark.simhash import SimHash
     from recordlinkage_spark.suffix import FingerprintSubstring
     from recordlinkage_spark import ann
+    from recordlinkage_spark.semdedup import semantic_dedup
 
     pre_probe = scan_probe() if RUN_PROBE else {"skipped": True, "healthy": None}
 
@@ -192,6 +193,9 @@ def main() -> None:
          lambda: ann.ivf_topk(emb, emb.limit(50), k=10, n_lists=32,
                               nprobe=8, seed=42).count()),
         ("embedding_near_dup_lsh", run_lsh_neardup),
+        ("semantic_dedup",
+         lambda: semantic_dedup(emb, n_lists=32, threshold=0.85, seed=42)
+         .filter("NOT keep").count()),
     ]
 
     # Round-robin best-of-N: every query sampled once per sweep so a bad
