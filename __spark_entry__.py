@@ -159,6 +159,34 @@ def q_compare_string_qgram(spark, sf):
     )
 
 
+def q_compare_string_sw_lcs(spark, sf):
+    """smith_waterman (mean norm, reference contrib smith_waterman
+    comparator semantics) + lcs (dice) over customer-name pairs, through
+    the r4 batch-vectorized anti-diagonal / rolling-hash kernels
+    (stringmetrics.smith_waterman_batch/lcs_batch). rows-only: the
+    O(nm) DP similarities are not expressible in DuckDB SQL; the output
+    is deterministic and golden-pinned (tests/test_goldens.py), and the
+    batch kernels are property-tested for exact equality against their
+    retained scalar oracles (tests/test_np_kernels.py)."""
+    from recordlinkage_spark.comparing import Compare
+
+    pairs, cust = _customer_pairs(spark, sf)
+    # deterministic 1-in-10 pair subset: the full 45k-pair frame would
+    # make this golden 16x larger than every other pinned fixture
+    pairs = pairs.filter((F.col("id_1") + F.col("id_2")) % 10 == 0)
+    out = (
+        Compare()
+        .string("c_name", "c_name", "smith_waterman", label="name_sw")
+        .string("c_name", "c_name", "lcs", label="name_lcs")
+        .compute(pairs, cust, id_col="c_custkey")
+    )
+    return out.select(
+        "id_1", "id_2",
+        _r6(F.col("name_sw")).alias("name_sw"),
+        _r6(F.col("name_lcs")).alias("name_lcs"),
+    )
+
+
 def q_neighbourhood_block_index(spark, sf):
     """NeighbourhoodBlock dedup with all three generalizations active:
     a rank-window field (windows=3 on mktsegment with synthesized nulls
@@ -708,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_string_jaro": q_compare_string_jaro,
         "compare_string_damerau": q_compare_string_damerau,
         "compare_string_qgram": q_compare_string_qgram,
+        "compare_string_sw_lcs": q_compare_string_sw_lcs,
         "neighbourhood_block_index": q_neighbourhood_block_index,
         "compare_date_orders": q_compare_date_orders,
         "compare_frequency": q_compare_frequency,

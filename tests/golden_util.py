@@ -46,4 +46,5 @@ GOLDEN_QUERIES = [
     "multimodal_features",
     "ann_ivf_topk",
     "semantic_dedup",
+    "compare_string_sw_lcs",
 ]
