@@ -391,6 +391,25 @@ def q_substring_span_pairs(spark, sf):
     )
 
 
+def q_extract_text(spark, sf):
+    """North-rule per-row invariant surfaced at the driver contract: render
+    each document into a Common-Crawl-shaped html binary (entity-escaped
+    payload + script/style/comment/attribute boilerplate,
+    textfns.render_html_expr) and recover the text with the JVM-only
+    extraction chain (textfns.extract_text). The oracle is NOT a mirror of
+    the chain — it is the ground truth the chain must reproduce:
+    whitespace-normalized original text. Any escape/unescape or
+    tag-stripping defect hash-mismatches."""
+    from recordlinkage_spark import textfns
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    html = textfns.render_html_expr(F.col("text"), url)
+    return docs.select(
+        "doc_id", textfns.extract_text(html).alias("extracted")
+    )
+
+
 def q_lang_id(spark, sf):
     from recordlinkage_spark import textfns
 
@@ -753,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_candidates": q_simhash_candidates,
         "substring_span_pairs": q_substring_span_pairs,
+        "extract_text": q_extract_text,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1045,6 +1065,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,
+        # ground truth for render->extract: whitespace-normalized text.
+        # Not a mirror of the Spark chain — any escape/strip defect fails.
+        "extract_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted
+            FROM documents
+        """,
         "lang_id": f"""
             WITH sc AS (
               SELECT doc_id,

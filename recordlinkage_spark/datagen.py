@@ -46,6 +46,36 @@ BOILERPLATE = (
 ).split()
 
 
+def render_html(text: str, url: str, para_words: int = 30) -> bytes:
+    """Deterministic Common-Crawl-flavored page renderer (python twin of
+    textfns.render_html_expr). The payload is the ONLY visible text —
+    boilerplate lives in attributes, a comment, script and style bodies
+    (all of which textfns.extract_text strips) — so the north rule's
+    per-url invariant holds byte-for-byte on whitespace-normalized text:
+    ``extract_text(render_html(text, url)) == text``
+    (tests/test_extract_text.py). Text is entity-escaped (&<>"') and split
+    into <p> blocks at word boundaries, sized by ``para_words``."""
+    import html as _html
+
+    words = text.split(" ")
+    paras = [
+        "<p class=\"c%d\">%s</p>"
+        % (i // para_words, _html.escape(" ".join(words[i : i + para_words])))
+        for i in range(0, max(len(words), 1), para_words)
+    ]
+    return (
+        "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n<title></title>\n"
+        "<meta property=\"og:url\" content=\"" + _html.escape(url) + "\"/>\n"
+        "<style type=\"text/css\">p { margin: 0 > auto; }</style>\n"
+        "<script defer>if (1 < 2) { var x = \"</div>\"; }</script>\n"
+        "</head>\n<body class=\"page\">\n"
+        "<!-- boilerplate <nav> below -->\n"
+        "<nav><a href=\"/home?a=1&amp;b=2\"><img alt=\"home\"/></a></nav>\n"
+        + "\n".join(paras)
+        + "\n</body>\n</html>"
+    ).encode("utf-8")
+
+
 def _make_doc(rng: np.random.RandomState, n_tokens: int) -> list[str]:
     return [VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tokens)]
 
@@ -133,9 +163,9 @@ def webtext_corpus_pandas(
         cluster_of[url] = src
 
     corpus = pd.DataFrame(docs)
-    corpus["html"] = corpus["text"].map(
-        lambda t: f"<html><body><p>{t}</p></body></html>".encode()
-    )
+    corpus["html"] = [
+        render_html(t, u) for t, u in zip(corpus["text"], corpus["url"])
+    ]
 
     # truth pairs: all within-cluster pairs, EXCEPT span-dups which are only
     # "substring duplicates" — they pair with the cluster but with kind 'span'
@@ -257,9 +287,7 @@ def webtext_corpus_distributed(
                     _dt.datetime(2024, 1, 1)
                     + _dt.timedelta(minutes=(doc_id * 37) % (60 * 24 * 30))
                 )
-                rows["html"].append(
-                    f"<html><body><p>{text}</p></body></html>".encode()
-                )
+                rows["html"].append(render_html(text, url))
                 rows["lang"].append(LANGS[cluster % len(LANGS)])
                 rows["_cluster"].append(cluster)
                 rows["_dup_kind"].append(kind)

@@ -418,3 +418,103 @@ def doc_fingerprint(text_col: Column) -> Column:
     can verify it; at scale swap for xxhash64 (cheaper, JVM)."""
     norm = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
     return F.md5(norm)
+
+
+# --- HTML text extraction ----------------------------------------------------
+#
+# The north rule's per-row invariant is "byte-identical extracted text per
+# url": given the input table's html binary column, the engine must recover
+# the page text deterministically. ``extract_text`` is the whole chain as
+# pure JVM column expressions (whole-stage codegen; no Python in the path),
+# so a 100 TB Iceberg scan extracts inline with the read — no shuffle, no
+# Arrow round trip. Contract: for any whitespace-normalized text rendered
+# into html that escapes &<>"' (the named-entity subset below) and places
+# text only inside block elements, ``extract_text(render(text)) == text``
+# byte-for-byte (tests/test_extract_text.py proves it per url on the
+# synthetic corpus and on adversarial entity/nesting cases).
+
+# Unescape order matters: every named entity before &amp; (so escaped
+# literals like "&amp;lt;" resolve to "&lt;", not "<"); &amp; strictly last.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#x27;", "'"),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # must be LAST
+]
+
+
+def extract_text(html_col: Column, charset: str = "UTF-8") -> Column:
+    """html binary -> extracted text (deterministic, JVM-only).
+
+    Steps: decode bytes -> drop <script>/<style> elements (case-insensitive,
+    dotall, attribute-tolerant, backreference-matched closer) -> drop
+    comments -> every remaining tag becomes a space (block boundaries
+    separate words; inline tags cost a space that the collapse step folds
+    away when the renderer keeps tags at token boundaries) -> unescape the
+    named-entity subset -> collapse \\s+ to one space -> trim.
+
+    Numeric entities beyond &#39;/&#x27; are out of scope (documented
+    subset; a JVM expression cannot compute chr(n) — anything richer needs
+    the Arrow path and leaves byte-identity to the renderer contract).
+    """
+    s = F.decode(html_col, charset)
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def html_escape_expr(text_col: Column) -> Column:
+    """Spark mirror of python's html.escape(quote=True): & first, then
+    < > " ' (' as &#x27; to match html.escape's choice)."""
+    s = text_col
+    for raw, ent in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ]:
+        s = F.replace(s, F.lit(raw), F.lit(ent))
+    return s
+
+
+def render_html_expr(text_col: Column, url_col: Column) -> Column:
+    """Deterministic html renderer as a column expression (binary out) —
+    the Spark-side twin of datagen's python renderer, used by the driver
+    query to exercise extract_text end-to-end on tables that ship only
+    text. The payload is the ONLY visible text (boilerplate lives in
+    attributes, comments, script and style — all stripped), so
+    extract_text(render(text)) == whitespace-normalized text exactly.
+    Hostile parts included: attribute-laden tags, a script body with a
+    '<' comparison and a fake closing tag in a string, a style body with
+    '>', a comment containing a fake tag, entity-escaped url attribute."""
+    esc_text = html_escape_expr(text_col)
+    esc_url = html_escape_expr(url_col)
+    return F.encode(
+        F.concat(
+            F.lit(
+                "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n<title></title>\n"
+                "<meta property=\"og:url\" content=\""
+            ),
+            esc_url,
+            F.lit(
+                "\"/>\n<style type=\"text/css\">p { margin: 0 > auto; }"
+                "</style>\n<script defer>if (1 < 2) { var x = \"</div>\"; }"
+                "</script>\n</head>\n<body class=\"page\">\n"
+                "<!-- boilerplate <nav> below -->\n"
+                "<nav><a href=\"/home?a=1&amp;b=2\"><img alt=\"home\"/></a>"
+                "</nav>\n<p class=\"c0\">"
+            ),
+            esc_text,
+            F.lit("</p>\n</body>\n</html>"),
+        ),
+        "UTF-8",
+    )
