@@ -440,6 +440,65 @@ def q_token_counts(spark, sf):
     )
 
 
+def _messy_url(doc_id):
+    """Deterministic messy url per doc (same construction in the DuckDB
+    oracle): mixed case, www, default port, tracking params, unsorted
+    params, fragments, trailing slashes — every normalization step fires
+    on some residue class of doc_id."""
+    tail = (
+        F.when(doc_id % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
+        .when(doc_id % 3 == 1, F.lit("?z=9&utm_campaign=x&a=1&"))
+        .otherwise(F.lit("/"))
+    )
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (doc_id % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(doc_id % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        doc_id.cast("string"),
+        tail,
+    )
+
+
+def q_canonical_url(spark, sf):
+    """URL canonicalization (webtext.canonical_url) — pure JVM expression
+    chain, no shuffle. The oracle is an independent DuckDB implementation
+    of the same RFC 3986 §6 normalization subset (list_filter/list_sort
+    over split params vs Spark's array built-ins)."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    url = _messy_url(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        url.alias("url_raw"),
+        webtext.canonical_url(url).alias("url_canon"),
+    )
+
+
+def q_line_dedup(spark, sf):
+    """CCNet-style corpus-level duplicated-line removal (webtext.line_dedup,
+    Wenzek et al. 2020 §3.1). documents.text has no newlines, so the query
+    first chunks each doc into 8-token pseudo-lines (same chunking in the
+    oracle); the corpus's planted exact/near-dup docs then share lines that
+    the pass must drop from every copy."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    k = 8
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    return webtext.line_dedup(chunked, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -776,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
+        "canonical_url": q_canonical_url,
+        "line_dedup": q_line_dedup,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1112,6 +1173,97 @@ def oracle_sql() -> dict[str, str]:
                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
             FROM documents
+        """,
+        # independent DuckDB reimplementation of the RFC 3986 §6 subset
+        # (NOT a transliteration of the Spark expression chain: different
+        # split/filter/sort primitives, \1 backrefs, native list ops)
+        "canonical_url": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.COM'
+                || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+                || '/Articles/' || doc_id
+                || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+                         WHEN doc_id % 3 = 1 THEN '?z=9&utm_campaign=x&a=1&'
+                         ELSE '/' END) AS url_raw
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, url_raw,
+                regexp_replace(trim(url_raw), '#.*$', '') AS nofrag
+              FROM raw
+            ),
+            split1 AS (
+              SELECT doc_id, url_raw,
+                regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+                regexp_extract(nofrag, '^[^?]*\?(.*)$', 1) AS q
+              FROM parts
+            ),
+            split2 AS (
+              SELECT doc_id, url_raw, q,
+                regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', 0) AS sh,
+                regexp_replace(
+                  regexp_replace(base, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', ''),
+                  '/+$', '') AS path
+              FROM split1
+            ),
+            norm AS (
+              SELECT doc_id, url_raw, path,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(lower(sh), '^(http://.*):80$', '\1'),
+                    '^(https://.*):443$', '\1'),
+                  '^(https?://)www\.', '\1') AS sh2,
+                array_to_string(
+                  list_sort(list_filter(string_split(q, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref|igshid)(=|$)'))),
+                  '&') AS qs
+              FROM split2
+            )
+            SELECT doc_id, url_raw,
+              sh2 || path
+                || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canon
+            FROM norm
+        """,
+        # independent CCNet line-dedup oracle: window-free groupBy over the
+        # normalized line, string_agg reassembly ORDER BY pos
+        "line_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, pos,
+                array_to_string(t[(pos*8+1):(pos*8+8)], ' ') AS line
+              FROM (SELECT doc_id, t,
+                      unnest(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS pos
+                    FROM toks)
+            ),
+            keyed AS (
+              SELECT doc_id, pos, line,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  lower(line), '[0-9]+', '', 'g'), '[^a-z ]', '', 'g'),
+                  ' +', ' ', 'g')) AS norm
+              FROM chunks
+            ),
+            dup AS (
+              SELECT norm FROM keyed WHERE norm <> ''
+              GROUP BY norm HAVING count(*) >= 2
+            ),
+            flagged AS (
+              SELECT k.doc_id, k.pos, k.line,
+                (d.norm IS NOT NULL) AS is_dup
+              FROM keyed k LEFT JOIN dup d ON k.norm = d.norm
+            )
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                  chr(10) ORDER BY pos), '') AS text_deduped,
+              count(*) AS n_lines,
+              coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS n_removed,
+              coalesce(sum(CASE WHEN is_dup THEN length(line) ELSE 0 END), 0)
+                AS chars_removed
+            FROM flagged GROUP BY doc_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -1,0 +1,161 @@
+"""Web-corpus preprocessing operators: URL canonicalization and CCNet-style
+corpus-level duplicated-line removal.
+
+These extend the reference's cleaning family (reference
+recordlinkage/preprocessing/cleaning.py:10-87 normalizes free-text columns
+before comparison) to the web-page input shape of the north rule
+(url/warc_ts/html/text/lang): before any MinHash/SimHash pass, a web corpus
+is first normalized by url (so http://WWW.a.com/x?utm_source=y and
+https://a.com/x dedup exactly) and stripped of corpus-level boilerplate
+lines (the CCNet recipe: Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", §3.1 — drop every
+paragraph whose normalized hash occurs more than once in the corpus).
+
+Scale design (100 TB):
+
+- ``canonical_url`` is a pure JVM column expression chain (regexp + array
+  built-ins, whole-stage codegen, no Python, no shuffle) — it runs inline
+  with the Iceberg scan, so url-keyed exact dedup costs one hash-aggregate
+  on the *canonical* key instead of a Python pass over every url.
+- ``line_dedup`` is explode -> one hash-aggregate on the normalized line
+  key (map-side partial aggregation absorbs hot boilerplate keys: a nav
+  bar appearing on 10^9 pages combines to one row per map task before the
+  shuffle) -> join of the *duplicated-key* table back to the lines (the
+  dup-key side is the aggregated output, orders of magnitude smaller than
+  the corpus; AQE broadcasts it when it fits, and its skew-join handles
+  stragglers otherwise) -> one groupBy(doc) to reassemble. Three
+  exchanges of the exploded-line table worst case, two when the dup-key
+  table broadcasts. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that never change page identity (analytics / click
+# tracking); stripped before canonical comparison.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref|igshid)(=|$)"
+
+_SCHEME_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
+
+
+def canonical_url(url_col: Column) -> Column:
+    """RFC 3986 §6-style canonical form as a JVM-only column expression.
+
+    Normalizations (each deterministic and DuckDB-oracle-verified):
+      1. strip the fragment (``#...``);
+      2. lowercase scheme and authority (path/query case is preserved —
+         paths are case-significant on most origins);
+      3. drop default ports (``:80`` for http, ``:443`` for https);
+      4. drop a leading ``www.`` host label;
+      5. strip trailing slashes from the path;
+      6. drop tracking query params (``TRACKING_PARAM_RE``) and empty
+         params, then sort the survivors bytewise and rejoin.
+
+    Non-absolute inputs (no ``scheme://``) pass through steps 1/5/6 only.
+    Null in -> null out.
+    """
+    u = F.trim(url_col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+
+    scheme_host = F.regexp_extract(base, _SCHEME_HOST_RE, 0)
+    path = F.regexp_replace(base, _SCHEME_HOST_RE, "")
+
+    sh = F.lower(scheme_host)
+    sh = F.regexp_replace(sh, r"^(http://.*):80$", "$1")
+    sh = F.regexp_replace(sh, r"^(https://.*):443$", "$1")
+    sh = F.regexp_replace(sh, r"^(https?://)www\.", "$1")
+
+    path = F.regexp_replace(path, r"/+$", "")
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+
+    return F.concat(
+        sh, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+
+
+def url_host(url_col: Column) -> Column:
+    """Lowercased host (no port, no www-strip) — the blocking key for
+    host-local passes (e.g. per-site boilerplate removal)."""
+    auth = F.regexp_extract(F.trim(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    return F.lower(F.regexp_replace(auth, r":\d+$", ""))
+
+
+def normalized_line(line_col: Column) -> Column:
+    """CCNet paragraph normalization (Wenzek et al. 2020 §3.1): lowercase,
+    drop digits, drop everything outside [a-z ], collapse whitespace, trim.
+    SQL-portable by construction (ASCII character classes only)."""
+    s = F.lower(line_col)
+    s = F.regexp_replace(s, r"[0-9]+", "")
+    s = F.regexp_replace(s, r"[^a-z ]", "")
+    s = F.regexp_replace(s, r" +", " ")
+    return F.trim(s)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_re: str = r"\n",
+    join_sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet §3.1): drop EVERY copy
+    of any line whose normalized form occurs >= ``min_count`` times across
+    the whole corpus; reassemble each doc from its surviving lines in
+    original order.
+
+    Lines whose normalized form is empty (pure digits/punctuation/space)
+    are never counted and always kept — otherwise every blank separator
+    line in the corpus would vanish.
+
+    Returns one row per input doc (docs whose lines ALL drop still appear,
+    with ``text_deduped = ''``):
+      (id_col, text_deduped string, n_lines long, n_removed long,
+       chars_removed long).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_re, -1)).alias("pos", "line"),
+    ).withColumn("norm", normalized_line(F.col("line")))
+
+    dup_keys = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("norm", F.lit(True).alias("is_dup"))
+    )
+
+    flagged = (
+        lines.join(dup_keys, "norm", "left")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+    )
+
+    structs = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("is_dup")))
+    )
+    kept = F.filter(structs, lambda s: ~s["is_dup"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["line"]), join_sep).alias(
+            "text_deduped"
+        ),
+        F.size(structs).cast("long").alias("n_lines"),
+        (F.size(structs) - F.size(kept)).cast("long").alias("n_removed"),
+        F.coalesce(
+            F.aggregate(
+                F.filter(structs, lambda s: s["is_dup"]),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s["line"]).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chars_removed"),
+    )

@@ -1,0 +1,142 @@
+"""webtext.py: URL canonicalization and CCNet-style corpus line dedup."""
+
+from pyspark.sql import functions as F
+
+from recordlinkage_spark import webtext
+
+
+def _canon_one(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(webtext.canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+class TestCanonicalUrl:
+    def test_full_normalization(self, spark):
+        got = _canon_one(
+            spark,
+            "HTTPS://WWW.Site3.Example.COM:443/Articles/42/"
+            "?utm_source=feed&b=2&a=1#frag",
+        )
+        assert got == "https://site3.example.com/Articles/42?a=1&b=2"
+
+    def test_http_default_port_and_www(self, spark):
+        assert (
+            _canon_one(spark, "http://WWW.a.com:80/x")
+            == "http://a.com/x"
+        )
+
+    def test_non_default_port_kept(self, spark):
+        assert _canon_one(spark, "http://a.com:8080/x") == "http://a.com:8080/x"
+
+    def test_path_case_preserved(self, spark):
+        assert _canon_one(spark, "https://a.com/CaseSensitive") == (
+            "https://a.com/CaseSensitive"
+        )
+
+    def test_tracking_params_dropped_sorted(self, spark):
+        got = _canon_one(
+            spark, "https://a.com/p?z=9&utm_campaign=x&gclid=1&fbclid=2&a=1&"
+        )
+        assert got == "https://a.com/p?a=1&z=9"
+
+    def test_all_params_tracking(self, spark):
+        assert _canon_one(spark, "https://a.com/p?utm_source=x") == "https://a.com/p"
+
+    def test_ref_param_exact_only(self, spark):
+        # 'ref' drops; 'referrer' (different param) survives
+        got = _canon_one(spark, "https://a.com/p?ref=rss&referrer=x")
+        assert got == "https://a.com/p?referrer=x"
+
+    def test_root_trailing_slash(self, spark):
+        assert _canon_one(spark, "https://a.com/") == "https://a.com"
+
+    def test_non_absolute_passthrough(self, spark):
+        assert _canon_one(spark, "relative/path/?b=2&a=1#f") == "relative/path?a=1&b=2"
+
+    def test_null_propagates(self, spark):
+        df = spark.createDataFrame([(None,)], "url string")
+        assert df.select(webtext.canonical_url(F.col("url")).alias("c")).first()[
+            "c"
+        ] is None
+
+    def test_equivalent_urls_collide(self, spark):
+        variants = [
+            "https://www.news.example.org:443/World/item-7?utm_medium=email",
+            "HTTPS://News.Example.Org/World/item-7/",
+            "https://news.example.org/World/item-7?fbclid=abc#top",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        got = {
+            r["c"]
+            for r in df.select(webtext.canonical_url(F.col("url")).alias("c")).collect()
+        }
+        assert got == {"https://news.example.org/World/item-7"}
+
+    def test_url_host(self, spark):
+        df = spark.createDataFrame(
+            [("https://WWW.A.com:8443/x?q=1",)], "url string"
+        )
+        assert df.select(webtext.url_host(F.col("url")).alias("h")).first()["h"] == (
+            "www.a.com"
+        )
+
+
+class TestLineDedup:
+    def _corpus(self, spark):
+        boiler = "Subscribe to our newsletter!"
+        rows = [
+            ("d1", f"alpha unique one\n{boiler}\nalpha unique two"),
+            ("d2", f"{boiler}\nbeta body text"),
+            # normalized-equal variant of the boilerplate (case + digits)
+            ("d3", "SUBSCRIBE to our 2024 newsletter\ngamma closing line"),
+            # doc that is ALL boilerplate -> must still appear, empty text
+            ("d4", boiler),
+            # blank/punct-only lines normalize to '' and are always kept
+            ("d5", "---\ndelta text\n---"),
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_corpus_line_dedup(self, spark):
+        out = webtext.line_dedup(self._corpus(spark), "doc_id", "text")
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+        assert set(got) == {"d1", "d2", "d3", "d4", "d5"}
+        assert got["d1"]["text_deduped"] == "alpha unique one\nalpha unique two"
+        assert got["d1"]["n_lines"] == 3 and got["d1"]["n_removed"] == 1
+        assert got["d1"]["chars_removed"] == len("Subscribe to our newsletter!")
+        assert got["d2"]["text_deduped"] == "beta body text"
+        # the digit/case variant was caught by normalization
+        assert got["d3"]["text_deduped"] == "gamma closing line"
+        assert got["d4"]["text_deduped"] == "" and got["d4"]["n_removed"] == 1
+        # '---' normalizes to '' -> kept even though it repeats
+        assert got["d5"]["text_deduped"] == "---\ndelta text\n---"
+        assert got["d5"]["n_removed"] == 0
+
+    def test_min_count_threshold(self, spark):
+        out = webtext.line_dedup(
+            self._corpus(spark), "doc_id", "text", min_count=4
+        )
+        # boilerplate appears 4x across the corpus (d1,d2,d3-variant,d4)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got["d2"]["text_deduped"] == "beta body text"
+        out5 = webtext.line_dedup(
+            self._corpus(spark), "doc_id", "text", min_count=5
+        )
+        got5 = {r["doc_id"]: r for r in out5.collect()}
+        assert "Subscribe" in got5["d2"]["text_deduped"]
+
+    def test_order_preserved_many_lines(self, spark):
+        # alphabetic ids: digits are stripped by normalization, so numeric
+        # suffixes would make every line a corpus-duplicate of the others
+        text = "\n".join(f"line {'x' * (i + 1)} unique" for i in range(30))
+        df = spark.createDataFrame([("x", text)], "doc_id string, text string")
+        out = webtext.line_dedup(df, "doc_id", "text").first()
+        assert out["text_deduped"] == text and out["n_removed"] == 0
+
+    def test_plan_shape(self, spark):
+        """Partial aggregation must appear before the line-key shuffle —
+        the property that absorbs hot boilerplate keys map-side."""
+        plan = webtext.line_dedup(
+            self._corpus(spark), "doc_id", "text"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan or "HashAggregate" in plan
