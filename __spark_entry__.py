@@ -477,26 +477,51 @@ def q_canonical_url(spark, sf):
     )
 
 
-def q_line_dedup(spark, sf):
-    """CCNet-style corpus-level duplicated-line removal (webtext.line_dedup,
-    Wenzek et al. 2020 §3.1). documents.text has no newlines, so the query
-    first chunks each doc into 8-token pseudo-lines (same chunking in the
-    oracle); the corpus's planted exact/near-dup docs then share lines that
-    the pass must drop from every copy."""
-    from recordlinkage_spark import webtext
-
-    docs = _t(spark, sf, "documents")
-    k = 8
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+def _chunk_lines(text_col, k: int = 8):
+    """documents.text has no newlines; chunk into k-token pseudo-lines
+    (identical chunking in the DuckDB oracles)."""
+    toks = F.split(F.trim(text_col), r"\s+")
     nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
     lines_arr = F.transform(
         F.sequence(F.lit(0), nlines - 1),
         lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
     )
-    chunked = docs.select(
-        "doc_id", F.array_join(lines_arr, "\n").alias("text")
-    )
+    return F.array_join(lines_arr, "\n")
+
+
+def q_line_dedup(spark, sf):
+    """CCNet-style corpus-level duplicated-line removal (webtext.line_dedup,
+    Wenzek et al. 2020 §3.1) over 8-token pseudo-lines; the corpus's planted
+    exact/near-dup docs share lines that the pass must drop from every
+    copy."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    chunked = docs.select("doc_id", _chunk_lines(F.col("text")).alias("text"))
     return webtext.line_dedup(chunked, "doc_id", "text")
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher repetition/quality signals (webtext.gopher_quality_features,
+    Rae et al. 2021 A1 subset) over 8-token pseudo-lines — a zero-shuffle
+    projection (tests/test_webtext.py asserts no Exchange in the plan). The
+    oracle recomputes every feature independently in DuckDB (list ops +
+    a per-doc argmax CTE for the top-n-gram, vs Spark's sorted-run fold)."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    chunked = docs.select("doc_id", _chunk_lines(F.col("text")).alias("text"))
+    feats = webtext.gopher_quality_features(F.col("text"))
+    return chunked.select(
+        "doc_id",
+        feats["n_lines"].alias("n_lines"),
+        _r6(feats["dup_line_frac"]).alias("dup_line_frac"),
+        _r6(feats["dup_line_char_frac"]).alias("dup_line_char_frac"),
+        _r6(feats["top_2gram_char_frac"]).alias("top_2gram_char_frac"),
+        _r6(feats["top_3gram_char_frac"]).alias("top_3gram_char_frac"),
+        _r6(feats["mean_word_len"]).alias("mean_word_len"),
+        _r6(feats["alpha_word_frac"]).alias("alpha_word_frac"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -837,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
+        "gopher_quality": q_gopher_quality,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1264,6 +1290,78 @@ def oracle_sql() -> dict[str, str]:
               coalesce(sum(CASE WHEN is_dup THEN length(line) ELSE 0 END), 0)
                 AS chars_removed
             FROM flagged GROUP BY doc_id
+        """,
+        # independent Gopher-features oracle: per-doc argmax via window
+        # functions over exploded n-grams (vs Spark's sorted-run fold);
+        # tie-break = lexicographically smallest gram among the argmax,
+        # which is exactly what the fold's strict `>` update yields
+        "gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, w,
+                list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)),
+                  i -> array_to_string(w[(i*8+1):(i*8+8)], ' ')) AS l
+              FROM base
+            ),
+            feat AS (
+              SELECT doc_id, w, l, array_to_string(l, chr(10)) AS txt
+              FROM lines
+            ),
+            c2 AS (
+              SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(len(w)-1),
+                         i -> w[i+1] || ' ' || w[i+2])) AS gram
+                FROM base WHERE len(w) >= 2)
+              GROUP BY doc_id, gram
+            ),
+            b2 AS (
+              SELECT doc_id, best, min(gram) AS bestg FROM (
+                SELECT doc_id, gram, c,
+                       max(c) OVER (PARTITION BY doc_id) AS best
+                FROM c2)
+              WHERE c = best GROUP BY doc_id, best
+            ),
+            c3 AS (
+              SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(len(w)-2),
+                         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+                FROM base WHERE len(w) >= 3)
+              GROUP BY doc_id, gram
+            ),
+            b3 AS (
+              SELECT doc_id, best, min(gram) AS bestg FROM (
+                SELECT doc_id, gram, c,
+                       max(c) OVER (PARTITION BY doc_id) AS best
+                FROM c3)
+              WHERE c = best GROUP BY doc_id, best
+            )
+            SELECT f.doc_id,
+              len(l) AS n_lines,
+              round((len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
+                AS dup_line_frac,
+              round((list_aggregate(list_transform(l, x -> length(x)), 'sum')
+                     - list_aggregate(list_transform(list_distinct(l),
+                                      x -> length(x)), 'sum'))::DOUBLE
+                    / list_aggregate(list_transform(l, x -> length(x)), 'sum'),
+                    6) AS dup_line_char_frac,
+              round(coalesce(b2.best * length(b2.bestg), 0)::DOUBLE
+                    / length(txt), 6) AS top_2gram_char_frac,
+              round(coalesce(b3.best * length(b3.bestg), 0)::DOUBLE
+                    / length(txt), 6) AS top_3gram_char_frac,
+              round(list_aggregate(list_transform(w, x -> length(x)),
+                                   'sum')::DOUBLE / len(w), 6) AS mean_word_len,
+              round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    ::DOUBLE / len(w), 6) AS alpha_word_frac
+            FROM feat f
+            LEFT JOIN b2 USING (doc_id)
+            LEFT JOIN b3 USING (doc_id)
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -100,6 +100,121 @@ def normalized_line(line_col: Column) -> Column:
     return F.trim(s)
 
 
+def gopher_quality_features(
+    text_col: Column, split_re: str = r"\n"
+) -> dict[str, Column]:
+    """Gopher repetition/quality signals (Rae et al. 2021, appendix A1
+    subset) as SHUFFLE-FREE column expressions — every feature is computed
+    per row from the doc's own line/token arrays, so at 100 TB the whole
+    filter runs inline with the Iceberg scan (one projection, no exchange,
+    no Python).
+
+    The only non-obvious trick: ``top_{2,3}gram_char_frac`` needs the count
+    of the doc's most frequent word n-gram, which is a sort + one linear
+    fold instead of a per-doc groupBy — ``array_sort`` the n-gram array,
+    then ``F.aggregate`` a (prev, run, best) struct to find the longest
+    equal-run. O(n log n) JVM work per doc, zero shuffles.
+
+    Returns a dict of named Columns:
+      n_lines, dup_line_frac, dup_line_char_frac,
+      top_2gram_char_frac, top_3gram_char_frac,
+      mean_word_len, symbol_word_ratio, alpha_word_frac,
+      ellipsis_line_frac.
+    Empty/degenerate docs get 0.0 for every ratio (no null/NaN leaks).
+    """
+    lines = F.split(text_col, split_re, -1)
+    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != "")
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+
+    def _safe_div(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    # duplicated-line fractions: line occurrences beyond the first are
+    # "duplicate"; char-weighted variant counts their characters
+    distinct_lines = F.array_distinct(lines)
+    sum_len = lambda arr: F.coalesce(  # noqa: E731
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    dup_line_frac = _safe_div(n_lines - F.size(distinct_lines), n_lines)
+    dup_line_char_frac = _safe_div(sum_len(lines) - sum_len(distinct_lines),
+                                   sum_len(lines))
+
+    def _ngrams(n: int) -> Column:
+        return F.when(n_words >= n, F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    def _top_ngram_char_frac(n: int) -> Column:
+        # chars covered by the most frequent n-gram: its multiplicity times
+        # its token-char length (n-1 joining spaces included, as in the
+        # published heuristic's character accounting)
+        grams = _ngrams(n)
+        sorted_g = F.array_sort(grams)
+        folded = F.aggregate(
+            sorted_g,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+                F.lit("").alias("bestg"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    )
+                    > acc["best"],
+                    x,
+                )
+                .otherwise(acc["bestg"])
+                .alias("bestg"),
+            ),
+        )
+        covered = folded["best"] * F.length(folded["bestg"])
+        return F.when(F.size(grams) > 0, _safe_div(covered, n_chars)).otherwise(
+            F.lit(0.0)
+        )
+
+    mean_word_len = _safe_div(sum_len(words), n_words)
+    # symbols per word: '#' occurrences + ellipsis occurrences ("..." or "…")
+    n_hash = F.length(text_col) - F.length(F.regexp_replace(text_col, r"#", ""))
+    n_ellipsis = F.size(F.split(text_col, r"\.\.\.|…", -1)) - 1
+    symbol_word_ratio = _safe_div(n_hash + n_ellipsis, n_words)
+    alpha_word_frac = _safe_div(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
+    )
+    ellipsis_line_frac = _safe_div(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))),
+        n_lines,
+    )
+
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_2gram_char_frac": _top_ngram_char_frac(2),
+        "top_3gram_char_frac": _top_ngram_char_frac(3),
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "alpha_word_frac": alpha_word_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+    }
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

@@ -140,3 +140,90 @@ class TestLineDedup:
             self._corpus(spark), "doc_id", "text"
         )._jdf.queryExecution().executedPlan().toString()
         assert "partial_count" in plan or "HashAggregate" in plan
+
+
+class TestGopherQuality:
+    """Differential test vs a direct python implementation of the Gopher
+    repetition heuristics (Rae et al. 2021 appendix A1 subset)."""
+
+    DOCS = [
+        ("g1", "the cat sat\nthe cat sat\nunique tail line"),
+        ("g2", "a b a b a b a b"),                       # top-2gram heavy
+        ("g3", "word"),                                   # single word
+        ("g4", ""),                                       # empty
+        ("g5", "read more...\nread more…\nbody text # tag # tag"),
+        ("g6", "x y z w v u t s r q p o n m"),            # all-unique grams
+    ]
+
+    @staticmethod
+    def _py_features(text):
+        lines = text.split("\n")
+        words = [w for w in text.strip().split() if w]
+        n_chars = len(text)
+
+        def div(a, b):
+            return a / b if b else 0.0
+
+        dl = len(lines) - len(dict.fromkeys(lines))
+        sl = sum(len(l) for l in lines)
+        sd = sum(len(l) for l in dict.fromkeys(lines))
+
+        def topgram(n):
+            grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+            if not grams:
+                return 0.0
+            from collections import Counter
+            c = Counter(grams)
+            best = max(c.values())
+            # tie-break identical to the fold: first max run in sorted order
+            bestg = None
+            for g in sorted(c):
+                if c[g] == best:
+                    bestg = g
+                    break
+            return div(best * len(bestg), n_chars)
+
+        import re
+        n_hash = text.count("#")
+        n_ell = len(re.split(r"\.\.\.|…", text)) - 1
+        return {
+            "n_lines": len(lines),
+            "dup_line_frac": div(dl, len(lines)),
+            "dup_line_char_frac": div(sl - sd, sl),
+            "top_2gram_char_frac": topgram(2),
+            "top_3gram_char_frac": topgram(3),
+            "mean_word_len": div(sum(len(w) for w in words), len(words)),
+            "symbol_word_ratio": div(n_hash + n_ell, len(words)),
+            "alpha_word_frac": div(
+                sum(1 for w in words if re.search("[A-Za-z]", w)), len(words)
+            ),
+            "ellipsis_line_frac": div(
+                sum(1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l)),
+                len(lines),
+            ),
+        }
+
+    def test_matches_python_reference(self, spark):
+        from recordlinkage_spark.webtext import gopher_quality_features
+
+        df = spark.createDataFrame(self.DOCS, "doc_id string, text string")
+        feats = gopher_quality_features(F.col("text"))
+        out = df.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+        for doc_id, text in self.DOCS:
+            want = self._py_features(text)
+            for k, v in want.items():
+                assert abs(got[doc_id][k] - v) < 1e-9, (doc_id, k, got[doc_id][k], v)
+
+    def test_no_shuffle_in_plan(self, spark):
+        """The whole feature block must be a single projection — zero
+        exchanges — so it runs inline with the scan at 100 TB."""
+        from recordlinkage_spark.webtext import gopher_quality_features
+
+        df = spark.createDataFrame(self.DOCS, "doc_id string, text string")
+        feats = gopher_quality_features(F.col("text"))
+        plan = (
+            df.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
