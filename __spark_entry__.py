@@ -524,6 +524,69 @@ def q_gopher_quality(spark, sf):
     )
 
 
+def q_webtext_e2e(spark, sf):
+    """End-to-end north-rule drive over the exact input_hint table shape
+    (url, warc_ts, html binary, text, lang), synthesized deterministically
+    on executors (datagen.webtext_corpus_distributed, 400 docs / 40% planted
+    dups / seed 7 — no external data, per the round brief): html -> JVM-only
+    byte-identical text extraction (textfns.extract_text) -> canonical_url
+    keying (webtext.canonical_url) -> full dedup pipeline (MinHash/LSH
+    signatures, capped band-bucket join, exact-Jaccard verify, winnowed
+    substring pass, connected components) -> per-dup-kind pair recall vs the
+    planted truth, with the extraction-mismatch count carried on every row.
+
+    rows-only at the driver (seeded synthetic input, not a testdata table);
+    golden-pinned in tests/test_goldens.py — exact recall and a zero
+    extract_mismatches column are asserted against the committed CSV.
+    Expected: recall 1.0 for exact and near kinds; span pairs recover via
+    the winnowing fingerprints plus cluster transitive closure."""
+    from recordlinkage_spark import textfns, webtext
+    from recordlinkage_spark.config import EngineConfig
+    from recordlinkage_spark.datagen import webtext_corpus_distributed
+    from recordlinkage_spark.pipeline import DedupPipeline
+
+    corpus, truth = webtext_corpus_distributed(
+        spark, n_docs=400, dup_fraction=0.4, seed=7, partitions=8
+    )
+    docs = corpus.select(
+        webtext.canonical_url(F.col("url")).alias("url"),
+        textfns.extract_text(F.col("html")).alias("text"),
+        F.col("text").alias("_orig"),
+    ).localCheckpoint()
+
+    cfg = EngineConfig(num_perm=128, lsh_bands=64, lsh_rows=2, shingle_size=3,
+                       span_tokens=16, winnow_window=9)
+    out = DedupPipeline(cfg, jaccard_threshold=0.5).run(
+        docs.select("url", "text"), id_col="url", text_col="text"
+    )
+    clusters = out["clusters"]
+    found = (
+        clusters.select(F.col("url").alias("url_1"), "cluster_id")
+        .join(clusters.select(F.col("url").alias("url_2"), "cluster_id"),
+              "cluster_id")
+        .filter(F.col("url_1") > F.col("url_2"))
+        .select("url_1", "url_2", F.lit(1).alias("_hit"))
+    )
+    per_kind = (
+        truth.join(found, ["url_1", "url_2"], "left")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("true_pairs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("found_pairs"),
+        )
+        .withColumn(
+            "recall", _r6(F.col("found_pairs") / F.col("true_pairs"))
+        )
+    )
+    mism = docs.agg(
+        F.sum((F.col("text") != F.col("_orig")).cast("int"))
+        .alias("extract_mismatches")
+    )
+    return per_kind.crossJoin(mism).select(
+        "kind", "true_pairs", "found_pairs", "recall", "extract_mismatches"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -863,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
+        "webtext_e2e": q_webtext_e2e,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,

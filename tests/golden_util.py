@@ -47,4 +47,5 @@ GOLDEN_QUERIES = [
     "ann_ivf_topk",
     "semantic_dedup",
     "compare_string_sw_lcs",
+    "webtext_e2e",
 ]

@@ -1,5 +1,6 @@
-"""Golden-pinned outputs for the 7 driver queries the DuckDB oracle
-cannot check (seed/hash-dependent — CORRECTNESS records them rows-only).
+"""Golden-pinned outputs for the driver queries the DuckDB oracle
+cannot check (seed/hash-dependent — CORRECTNESS records them rows-only;
+see golden_util.GOLDEN_QUERIES for the current list).
 
 Each test reruns the exact driver query at sf0.01 and asserts canonical
 equality against the committed CSV (VERDICT r3 next-round #2). The
