@@ -524,6 +524,21 @@ def q_gopher_quality(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (webtext.decontaminate, the GPT-3 13-gram
+    recipe): every 25th document plays the evaluation benchmark; a doc is
+    contaminated if any of its distinct lowercase token 13-grams occurs in
+    the benchmark. String-keyed here for exact oracle parity (the hashed
+    64-bit-key production path is differential-tested against this one in
+    tests/test_webtext.py). The planted exact/near/span dups of benchmark
+    docs must flag; unrelated docs must not."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return webtext.decontaminate(docs, bench, n=13, use_hash=False)
+
+
 def q_webtext_e2e(spark, sf):
     """End-to-end north-rule drive over the exact input_hint table shape
     (url, warc_ts, html binary, text, lang), synthesized deterministically
@@ -926,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
         "webtext_e2e": q_webtext_e2e,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1426,6 +1442,37 @@ def oracle_sql() -> dict[str, str]:
             FROM feat f
             LEFT JOIN b2 USING (doc_id)
             LEFT JOIN b3 USING (doc_id)
+        """,
+        # independent decontamination oracle: list ops + a plain join on
+        # gram strings (vs Spark's explode -> broadcast hash join)
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(w) >= 13 THEN
+                    list_transform(range(len(w)-12),
+                      i -> array_to_string(w[(i+1):(i+13)], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 25 = 0
+            ),
+            cg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            ov AS (
+              SELECT doc_id, count(*) AS c
+              FROM cg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ov.c, 0) AS BIGINT) AS n_overlap_grams,
+                   coalesce(ov.c, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov USING (doc_id)
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

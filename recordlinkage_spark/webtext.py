@@ -215,6 +215,95 @@ def gopher_quality_features(
     }
 
 
+def _token_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct lowercase whitespace-token n-grams of a text column as an
+    array<string>, entirely in JVM expressions (split/transform/slice).
+    Docs with fewer than n tokens yield an empty array."""
+    toks = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_overlaps: int = 1,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination for training corpora (the GPT-3 recipe,
+    Brown et al. 2020 appendix C: a training document is contaminated if it
+    shares any length-``n`` token n-gram with an evaluation benchmark;
+    n=13 is the published default).
+
+    Returns one row per input doc:
+      (id_col, n_overlap_grams long, contaminated boolean)
+    where ``n_overlap_grams`` counts the doc's DISTINCT n-grams that occur
+    anywhere in the benchmark, and ``contaminated`` is
+    ``n_overlap_grams >= min_overlaps``.
+
+    Scale design (100 TB corpus, small benchmark — the realistic shape):
+
+    - Both sides' n-grams are pure JVM array expressions (no Python).
+    - The benchmark side is aggregated to its distinct gram set (tiny: a
+      few eval suites) and explicitly ``broadcast()``; the corpus side is
+      exploded and joined with a BroadcastHashJoin — the 100 TB side
+      NEVER shuffles to find its matches (tests assert the corpus side of
+      the plan has no Exchange before the join).
+    - Only matched (doc, gram) rows survive the inner join, so the
+      per-doc overlap groupBy shuffles matched rows only — at realistic
+      contamination rates orders of magnitude below corpus size. The
+      final flags table (matched ids only) joins back to the doc-id list;
+      AQE broadcasts it when it fits.
+    - ``use_hash=True`` (default) joins on ``xxhash64(gram)`` instead of
+      the gram string — 8-byte keys instead of ~7*n-byte strings through
+      the explode and join. A 64-bit collision can only ADD a false
+      contamination flag (never miss one); at |benchmark grams| ~ 1e7 the
+      per-gram false-hit probability is ~5e-13. The driver oracle query
+      runs ``use_hash=False`` for exact string semantics; a pytest
+      differential asserts both paths agree end-to-end.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(_token_ngrams(F.col(bench_text), n)).alias("gram")
+    ).distinct()
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(_token_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    if use_hash:
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+        corpus_grams = corpus_grams.select(
+            id_col, F.xxhash64("gram").alias("gram")
+        )
+    overlaps = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap_grams", F.lit(0).cast("long")).alias(
+                "n_overlap_grams"
+            ),
+            (F.coalesce("n_overlap_grams", F.lit(0)) >= min_overlaps).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

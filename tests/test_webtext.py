@@ -227,3 +227,85 @@ class TestGopherQuality:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestDecontaminate:
+    """GPT-3 13-gram benchmark decontamination (Brown et al. 2020 app. C)."""
+
+    def _corpus(self, spark):
+        # 14-token benchmark doc; c1 copies a 13-token window of it, c2
+        # shares only 12 consecutive tokens, c3 is disjoint, c4 is an
+        # exact copy, c5 is too short to have any 13-gram
+        bench_text = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13"
+        docs = [
+            ("c1", "x y " + " ".join(f"b{i}" for i in range(13)) + " z"),
+            ("c2", " ".join(f"b{i}" for i in range(12)) + " q r s t u v w"),
+            ("c3", " ".join(f"u{i}" for i in range(30))),
+            ("c4", bench_text),
+            ("c5", "only five little tokens here"),
+        ]
+        return (
+            spark.createDataFrame(docs, "doc_id string, text string"),
+            spark.createDataFrame([("bench", bench_text)],
+                                  "doc_id string, text string"),
+        )
+
+    def test_planted_contamination(self, spark):
+        docs, bench = self._corpus(spark)
+        got = {
+            r["doc_id"]: (r["n_overlap_grams"], r["contaminated"])
+            for r in webtext.decontaminate(docs, bench).collect()
+        }
+        assert got["c1"] == (1, True)       # the b0..b12 window
+        assert got["c2"] == (0, False)      # 12 shared tokens < n
+        assert got["c3"] == (0, False)
+        assert got["c4"] == (2, True)       # both 13-grams of the 14-token doc
+        assert got["c5"] == (0, False)
+        assert len(got) == 5                # every input doc gets a row
+
+    def test_hash_and_string_paths_agree(self, spark):
+        docs, bench = self._corpus(spark)
+        hashed = webtext.decontaminate(docs, bench, use_hash=True)
+        exact = webtext.decontaminate(docs, bench, use_hash=False)
+        assert sorted(map(tuple, hashed.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+    def test_case_insensitive_grams(self, spark):
+        docs = spark.createDataFrame(
+            [("d", " ".join(f"B{i}" for i in range(13)))],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame(
+            [("b", " ".join(f"b{i}" for i in range(13)))],
+            "doc_id string, text string",
+        )
+        assert webtext.decontaminate(docs, bench).first()["contaminated"]
+
+    def test_min_overlaps_threshold(self, spark):
+        docs, bench = self._corpus(spark)
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in webtext.decontaminate(docs, bench, min_overlaps=2).collect()
+        }
+        assert got["c1"] is False and got["c4"] is True
+
+    def test_corpus_side_broadcast_join_no_shuffle(self, spark):
+        """The benchmark gram set must reach the corpus as a broadcast:
+        the overlap join is a BroadcastHashJoin and the corpus side has no
+        Exchange between scan and join (the 100 TB side never shuffles to
+        find its matches)."""
+        docs, bench = self._corpus(spark)
+        plan = (
+            webtext.decontaminate(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # corpus branch = between the overlap join and its BroadcastExchange
+        # child (the corpus side prints first); it must contain no Exchange.
+        # The bench branch below the BroadcastExchange may shuffle — it is
+        # the tiny side by contract.
+        corpus_branch = plan.split("BroadcastHashJoin")[-1].split(
+            "BroadcastExchange"
+        )[0]
+        assert "Scan" in corpus_branch and "Exchange" not in corpus_branch
