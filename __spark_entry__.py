@@ -524,6 +524,34 @@ def q_gopher_quality(spark, sf):
     )
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing (webtext.redact_pii): each document gets a
+    deterministic planted email + IPv4 + phone appended (identical
+    construction in the oracle SQL), then the JVM regexp chain must redact
+    all three and count them. Exercises order-dependence (the dotted quad
+    would also match the phone pattern) and full-text byte equality of the
+    redacted output between Spark's Java regex and DuckDB's RE2."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    r = webtext.redact_pii(planted)
+    return docs.select(
+        "doc_id",
+        r["text_redacted"].alias("text_redacted"),
+        r["n_emails"].alias("n_emails"),
+        r["n_ipv4"].alias("n_ipv4"),
+        r["n_phones"].alias("n_phones"),
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (webtext.decontaminate, the GPT-3 13-gram
     recipe): every 25th document plays the evaluation benchmark; a doc is
@@ -941,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
         "webtext_e2e": q_webtext_e2e,
         # similarity search
@@ -1442,6 +1471,45 @@ def oracle_sql() -> dict[str, str]:
             FROM feat f
             LEFT JOIN b2 USING (doc_id)
             LEFT JOIN b3 USING (doc_id)
+        """,
+        # same planted-PII construction, redaction chain in RE2 (the 'g'
+        # flag makes regexp_replace global like Spark's); counts via
+        # regexp_split_to_array on the same intermediate text states
+        "redact_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                text || ' contact user' || doc_id || '@mail.example.org or 10.0.'
+                     || (doc_id % 256) || '.7 tel +1 (555) 010-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, t0,
+                regexp_replace(t0,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM planted
+            ),
+            s2 AS (
+              SELECT doc_id, t0, t1,
+                regexp_replace(t1,
+                  '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+                  '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+              regexp_replace(t2, '\+?[0-9][0-9()\- \t\n\r.]{6,}[0-9]',
+                             '<PHONE>', 'g') AS text_redacted,
+              CAST(len(regexp_split_to_array(t0,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) - 1
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_split_to_array(t1,
+                '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) - 1
+                AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_split_to_array(t2,
+                '\+?[0-9][0-9()\- \t\n\r.]{6,}[0-9]')) - 1
+                AS BIGINT) AS n_phones
+            FROM s2
         """,
         # independent decontamination oracle: list ops + a plain join on
         # gram strings (vs Spark's explode -> broadcast hash join)

@@ -215,6 +215,49 @@ def gopher_quality_features(
     }
 
 
+# PII regexes kept deliberately inside the intersection of Java-regex
+# (Spark JVM) and RE2 (DuckDB oracle) semantics: no lookaround, no
+# backreferences, explicit ASCII classes (Java \s includes \x0B, RE2's does
+# not — so the whitespace class is spelled out).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+PII_PHONE_RE = r"\+?[0-9][0-9()\- \t\n\r.]{6,}[0-9]"
+
+
+def redact_pii(text_col: Column) -> dict[str, Column]:
+    """PII scrubbing for web corpora as a shuffle-free JVM projection:
+    emails, IPv4 addresses, and phone-shaped digit runs are replaced with
+    ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tokens, applied in that order
+    (the IPv4 pass must run before the phone pass — a dotted quad is also
+    a phone-shaped digit run). Heuristic by design, like every published
+    corpus scrubber: counts are non-overlapping regex matches, each
+    counted on the text state its own pass sees.
+
+    Returns named Columns: ``text_redacted``, ``n_emails``, ``n_ipv4``,
+    ``n_phones``. Pure ``regexp_replace``/``split`` expressions — zero
+    Python, zero shuffle, runs inline with the scan at 100 TB.
+    """
+
+    def _count(col: Column, pattern: str) -> Column:
+        return (F.size(F.split(col, pattern, -1)) - 1).cast("long")
+
+    n_emails = _count(text_col, PII_EMAIL_RE)
+    t1 = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    n_ipv4 = _count(t1, PII_IPV4_RE)
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = _count(t2, PII_PHONE_RE)
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return {
+        "text_redacted": t3,
+        "n_emails": n_emails,
+        "n_ipv4": n_ipv4,
+        "n_phones": n_phones,
+    }
+
+
 def _token_ngrams(text_col: Column, n: int) -> Column:
     """Distinct lowercase whitespace-token n-grams of a text column as an
     array<string>, entirely in JVM expressions (split/transform/slice).

@@ -309,3 +309,52 @@ class TestDecontaminate:
             "BroadcastExchange"
         )[0]
         assert "Scan" in corpus_branch and "Exchange" not in corpus_branch
+
+
+class TestRedactPii:
+    def _run(self, spark, text):
+        df = spark.createDataFrame([(text,)], "text string")
+        r = webtext.redact_pii(F.col("text"))
+        return df.select(*[c.alias(k) for k, c in r.items()]).first()
+
+    def test_email(self, spark):
+        got = self._run(spark, "mail me at First.Last+tag@sub.Example.CO.uk ok")
+        assert got["text_redacted"] == "mail me at <EMAIL> ok"
+        assert got["n_emails"] == 1 and got["n_ipv4"] == 0 and got["n_phones"] == 0
+
+    def test_ipv4_not_phone(self, spark):
+        """A dotted quad must become <IP>, not <PHONE> (order dependence)."""
+        got = self._run(spark, "server 192.168.100.200 is up")
+        assert got["text_redacted"] == "server <IP> is up"
+        assert got["n_ipv4"] == 1 and got["n_phones"] == 0
+
+    def test_out_of_range_quad_not_ip(self, spark):
+        got = self._run(spark, "version 999.999.999.999 here")
+        assert got["n_ipv4"] == 0
+
+    def test_phone_forms(self, spark):
+        got = self._run(spark, "call +1 (555) 010-4242 or 0470 123 456 now")
+        assert got["n_phones"] == 2
+        assert got["text_redacted"] == "call <PHONE> or <PHONE> now"
+
+    def test_all_three_planted(self, spark):
+        got = self._run(
+            spark, "x a@b.io y 10.0.42.7 z +44 20 7946 0958 end"
+        )
+        assert (got["n_emails"], got["n_ipv4"], got["n_phones"]) == (1, 1, 1)
+        assert got["text_redacted"] == "x <EMAIL> y <IP> z <PHONE> end"
+
+    def test_clean_text_untouched(self, spark):
+        text = "no personal data in this perfectly ordinary sentence"
+        got = self._run(spark, text)
+        assert got["text_redacted"] == text
+        assert (got["n_emails"], got["n_ipv4"], got["n_phones"]) == (0, 0, 0)
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame([("t",)], "text string")
+        r = webtext.redact_pii(F.col("text"))
+        plan = (
+            df.select(*[c.alias(k) for k, c in r.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
