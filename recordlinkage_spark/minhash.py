@@ -523,6 +523,64 @@ class MinHashLSH:
         return bucket_pairs(bands, ["band_key"], self.max_bucket_size, id_type,
                             dropped_acc=dropped_acc)
 
+    def candidate_pairs_against(
+        self,
+        new_df: DataFrame,
+        store_bands: DataFrame,
+        id_col: str,
+        text_col: str,
+        dropped_acc=None,
+    ) -> DataFrame:
+        """Incremental LSH for recurring crawls: candidates between a NEW
+        batch and an existing signature STORE (a persisted
+        :meth:`bands_table` output), plus within-batch candidates — the
+        store is never re-paired against itself, so pairing an ongoing
+        crawl costs O(|batch| + touched store rows) per day instead of
+        re-running the full corpus join. Batch twin of
+        ``streaming.foreach_batch_dedup``, with the same capped-bucket skew
+        contract as :meth:`candidate_pairs`.
+
+        Scale design (10^12-row store): the store is first semi-joined to
+        the batch's distinct band keys — with the store written bucketed/
+        partitioned by ``band_key`` (Iceberg bucket transform), that scan is
+        partition-pruned to the touched buckets; the store never shuffles
+        in full. Store keys whose touched-row count exceeds
+        ``max_bucket_size`` are dropped (boilerplate protection, counted in
+        ``dropped_acc`` per matched row group like the batch expander); the
+        cross join then broadcasts whichever side AQE finds small.
+
+        ``store_bands`` may carry (id, band_id, band_hash) as written by
+        ``bands_table`` or the compact (id, band_key int) form; both accept.
+        Returns distinct (id_1 > id_2) pairs where at least one side is new.
+        """
+        new_bands = self.bands_table(new_df, id_col, text_col).select(
+            "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+        )
+        id_type = new_df.schema[id_col].dataType.simpleString()
+        within = bucket_pairs(
+            new_bands, ["band_key"], self.max_bucket_size, id_type,
+            dropped_acc=dropped_acc,
+        )
+        store = store_bands
+        if "band_key" not in store.columns:
+            store = store.select(
+                "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+            )
+        touched = store.join(new_bands.select("band_key").distinct(), "band_key")
+        sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
+        kept_keys = sizes.filter(F.col("_n") <= self.max_bucket_size)
+        hits = touched.join(kept_keys.select("band_key"), "band_key")
+        cross = (
+            new_bands.select("band_key", F.col("id").alias("_nid"))
+            .join(hits.select("band_key", F.col("id").alias("_sid")), "band_key")
+            .filter(F.col("_nid") != F.col("_sid"))
+            .select(
+                F.greatest("_nid", "_sid").alias("id_1"),
+                F.least("_nid", "_sid").alias("id_2"),
+            )
+        )
+        return within.unionByName(cross).dropDuplicates(["id_1", "id_2"])
+
     def verified_pairs(
         self,
         df: DataFrame,

@@ -153,3 +153,91 @@ def test_empty_docs_excluded_from_signatures(spark):
     spairs = {(r["id_1"], r["id_2"])
               for r in sh.candidate_pairs(docs, "url", "text").collect()}
     assert spairs == {("b", "a")}
+
+
+class TestIncrementalLSH:
+    """candidate_pairs_against: batch-vs-store incremental LSH (the batch
+    twin of streaming.foreach_batch_dedup)."""
+
+    def _split(self, spark, corpus):
+        docs, truth = corpus
+        # split by url hash so dup clusters straddle the old/new boundary
+        old = docs.filter(F.abs(F.hash("url")) % 4 != 0)
+        new = docs.filter(F.abs(F.hash("url")) % 4 == 0)
+        return old, new
+
+    def test_equals_full_batch_restricted(self, spark, corpus):
+        """Against an uncapped store, incremental candidates must equal the
+        full-batch candidate set restricted to pairs touching a new doc."""
+        docs, _ = corpus
+        lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3,
+                         max_bucket_size=100000)
+        old, new = self._split(spark, corpus)
+        store = lsh.bands_table(old, "url", "text")
+
+        got = lsh.candidate_pairs_against(new, store, "url", "text")
+        new_ids = {r["url"] for r in new.select("url").collect()}
+        want = {
+            (r["id_1"], r["id_2"])
+            for r in lsh.candidate_pairs(docs, "url", "text").collect()
+            if r["id_1"] in new_ids or r["id_2"] in new_ids
+        }
+        assert {(r["id_1"], r["id_2"]) for r in got.collect()} == want
+
+    def test_accepts_compact_band_key_store(self, spark, corpus):
+        lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+        old, new = self._split(spark, corpus)
+        full = lsh.bands_table(old, "url", "text")
+        compact = full.select(
+            "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+        )
+        a = lsh.candidate_pairs_against(new, full, "url", "text").collect()
+        b = lsh.candidate_pairs_against(new, compact, "url", "text").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_no_store_only_pairs(self, spark, corpus):
+        lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+        old, new = self._split(spark, corpus)
+        store = lsh.bands_table(old, "url", "text")
+        got = lsh.candidate_pairs_against(new, store, "url", "text")
+        new_ids = {r["url"] for r in new.select("url").collect()}
+        for r in got.collect():
+            assert r["id_1"] in new_ids or r["id_2"] in new_ids
+
+    def test_hot_store_key_dropped(self, spark):
+        """A store band key touched by more rows than max_bucket_size is
+        dropped entirely (boilerplate protection), while other keys of the
+        same batch still pair."""
+        lsh = MinHashLSH(num_perm=8, bands=4, rows=2, shingle_size=2,
+                         max_bucket_size=5)
+        spark_df = spark.createDataFrame
+        # store: 6 rows on hot key 1 (over cap), 2 rows on key 2 (under)
+        store = spark_df(
+            [(f"s{i}", 1) for i in range(6)] + [("sa", 2), ("sb", 2)],
+            "id string, band_key int",
+        )
+        # batch whose docs are identical -> they share all band keys; force
+        # the keys by bypassing text: call the cross path via a fake
+        # bands_table through candidate_pairs_against is text-driven, so
+        # instead drive the join directly with a one-doc batch and assert
+        # via the public API on synthetic text that at least the under-cap
+        # store rows can pair. Simplest deterministic check: the pure-join
+        # semantics through a monkeypatched bands_table.
+        import types
+
+        fake_bands = spark_df([("n1", 1), ("n1", 2)], "id string, band_key int")
+        lsh.bands_table = types.MethodType(
+            lambda self, df, i, t: fake_bands.select(
+                "id", (F.col("band_key").cast("long") * (2**32)).alias("band_hash")
+            ).select("id", F.lit(0).alias("band_id"), "band_hash"),
+            lsh,
+        )
+        got = {
+            (r["id_1"], r["id_2"])
+            for r in lsh.candidate_pairs_against(
+                spark_df([("n1", "x")], "id string, text string"),
+                store, "id", "text",
+            ).collect()
+        }
+        # hot key 1 contributes nothing; key 2 pairs n1 with sa and sb
+        assert got == {("sa", "n1"), ("sb", "n1")}
