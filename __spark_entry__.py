@@ -709,6 +709,32 @@ def q_connected_components(spark, sf):
     return ConnectedComponents().compute(edges).orderBy("id")
 
 
+def q_cluster_representatives(spark, sf):
+    """Keep-best-copy selection over dedup clusters
+    (network.select_representatives): same synthetic decade components as
+    `connected_components`, policy = highest c_acctbal (custkey-ascending
+    tiebreak), singletons self-representative. The oracle reproduces the
+    decision with a plain window row_number over the closed-form cluster
+    key — independent of the CC iteration that produced Spark's labels."""
+    from recordlinkage_spark.network import (
+        ConnectedComponents, select_representatives,
+    )
+
+    cust = _t(spark, sf, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("id_1"),
+        (F.col("c_custkey") - F.col("c_custkey") % 10).alias("id_2"),
+    ).filter(F.col("id_1") != F.col("id_2"))
+    clusters = ConnectedComponents().compute(edges).withColumnRenamed(
+        "id", "c_custkey"
+    )
+    reps = select_representatives(
+        clusters, cust, id_col="c_custkey",
+        order_cols=[F.desc("c_acctbal")],
+    )
+    return reps.select("c_custkey", "cluster_id", "is_representative")
+
+
 def q_one_to_many(spark, sf):
     from recordlinkage_spark.indexing import Block
     from recordlinkage_spark.network import OneToManyLinking
@@ -980,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         # graph
         "connected_components": q_connected_components,
+        "cluster_representatives": q_cluster_representatives,
         "one_to_many": q_one_to_many,
         "one_to_one": q_one_to_one,
         # classify + measures
@@ -1471,6 +1498,17 @@ def oracle_sql() -> dict[str, str]:
             FROM feat f
             LEFT JOIN b2 USING (doc_id)
             LEFT JOIN b3 USING (doc_id)
+        """,
+        # keep-policy oracle: independent of the CC iteration — the decade
+        # cluster key is closed-form, the keep decision a window row_number
+        "cluster_representatives": """
+            SELECT c_custkey,
+                   c_custkey - c_custkey % 10 AS cluster_id,
+                   row_number() OVER (
+                     PARTITION BY c_custkey - c_custkey % 10
+                     ORDER BY c_acctbal DESC, c_custkey ASC
+                   ) = 1 AS is_representative
+            FROM customer
         """,
         # same planted-PII construction, redaction chain in RE2 (the 'g'
         # flag makes regexp_replace global like Spark's); counts via

@@ -209,6 +209,13 @@ def main() -> None:
             runs[name].append(round(time.time() - t0, 3))
 
     timings = {name: min(samples) for name, samples in runs.items()}
+    # Stop Spark BEFORE the post-probe: a worked JVM — even one sitting
+    # idle after its last job — costs the probe child ~5x (measured
+    # 385k vs 2.1M rows/s seconds apart, the only variable being
+    # spark.stop()); probing past it mislabeled four healthy windows as
+    # degraded. The probe measures the HOST, so nothing of ours may be
+    # running.
+    spark.stop()
     post_probe = scan_probe() if RUN_PROBE else {"skipped": True, "healthy": None}
 
     degraded = RUN_PROBE and not (
@@ -233,7 +240,6 @@ def main() -> None:
         "probe_quiet_archive_rows_per_sec": QUIET_SCAN_ROWS_PER_SEC,
         "host_degraded": degraded,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -392,3 +392,43 @@ class ConnectedComponents:
             lab = new
         out = pd.DataFrame({"id": uniq, "cluster_id": uniq[lab]})
         return spark.createDataFrame(out)
+
+
+def select_representatives(
+    clusters: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster_id",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Pick ONE surviving document per duplicate cluster by an explicit
+    keep policy instead of min-id: training pipelines keep the best copy
+    (highest quality score, earliest crawl, longest text), not the
+    lexicographically smallest url.
+
+    ``order_cols`` is a list of Columns (e.g. ``[F.desc("quality"),
+    F.asc("warc_ts")]``); ``(cluster_col, id_col ascending)`` is always
+    appended as the final tiebreak so selection is total and
+    deterministic. Docs absent from ``clusters`` (singletons never paired)
+    are kept as their own representative.
+
+    Returns ``attrs``' rows plus (cluster_col, is_representative).
+
+    Scale: one left join (clusters is ids+labels — AQE broadcasts it when
+    small, shuffles on id otherwise) and one window over cluster_col with
+    a row_number — a single shuffle of (id, cluster, order keys), no
+    Python. Window skew equals cluster skew, which upstream cluster caps
+    already bound.
+    """
+    from pyspark.sql import Window
+
+    joined = attrs.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "left"
+    ).withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    order = list(order_cols or []) + [F.asc(id_col)]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return joined.withColumn(
+        "is_representative", F.row_number().over(w) == 1
+    )

@@ -215,6 +215,9 @@ def main() -> None:
     ).collect()[0]
     recall = float(agg["found"]) / float(agg["truth"])
 
+    # stop Spark BEFORE probing: a worked JVM (even idle) costs the probe
+    # child ~5x (see bench.py) — the probe must see only the host
+    spark.stop()
     post = probe()
     rec = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -233,7 +236,6 @@ def main() -> None:
     hist.append(rec)
     path.write_text(json.dumps(hist, indent=1))
     print(json.dumps(rec), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

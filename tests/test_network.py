@@ -196,3 +196,60 @@ def test_one_to_one_prewave_equals_driver(spark):
     assert e == w and len(e) > 0
     assert exact.exceptAll(waved).count() == 0
     assert waved.exceptAll(exact).count() == 0
+
+
+class TestSelectRepresentatives:
+    def _fixtures(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        clusters = spark.createDataFrame(
+            [("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b1", "b1"), ("b2", "b1")],
+            "doc_id string, cluster_id string",
+        )
+        attrs = spark.createDataFrame(
+            [
+                ("a1", 0.2, 100), ("a2", 0.9, 50), ("a3", 0.9, 70),
+                ("b1", 0.5, 10), ("b2", 0.5, 10),
+                ("lone", 0.1, 5),   # never clustered -> self-representative
+            ],
+            "doc_id string, quality double, n_chars long",
+        )
+        return clusters, attrs
+
+    def test_keep_policy(self, spark):
+        from pyspark.sql import functions as F
+
+        from recordlinkage_spark.network import select_representatives
+
+        clusters, attrs = self._fixtures(spark)
+        out = select_representatives(
+            clusters, attrs, id_col="doc_id",
+            order_cols=[F.desc("quality"), F.desc("n_chars")],
+        )
+        reps = {r["doc_id"] for r in out.filter("is_representative").collect()}
+        # a-cluster: quality tie a2/a3 at 0.9 -> longer a3 wins; b-cluster:
+        # full tie -> id-ascending tiebreak keeps b1; singleton keeps itself
+        assert reps == {"a3", "b1", "lone"}
+
+    def test_exactly_one_per_cluster_and_all_rows_kept(self, spark):
+        from pyspark.sql import functions as F
+
+        from recordlinkage_spark.network import select_representatives
+
+        clusters, attrs = self._fixtures(spark)
+        out = select_representatives(
+            clusters, attrs, id_col="doc_id", order_cols=[F.desc("quality")]
+        )
+        assert out.count() == attrs.count()
+        per = out.groupBy("cluster_id").agg(
+            F.sum(F.col("is_representative").cast("int")).alias("n")
+        )
+        assert per.filter("n != 1").count() == 0
+
+    def test_default_order_is_min_id(self, spark):
+        from recordlinkage_spark.network import select_representatives
+
+        clusters, attrs = self._fixtures(spark)
+        out = select_representatives(clusters, attrs, id_col="doc_id")
+        reps = {r["doc_id"] for r in out.filter("is_representative").collect()}
+        assert reps == {"a1", "b1", "lone"}
