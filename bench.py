@@ -217,10 +217,22 @@ def main() -> None:
     # running.
     spark.stop()
     post_probe = scan_probe() if RUN_PROBE else {"skipped": True, "healthy": None}
+    # An unhealthy post-probe right after minutes of heavy Spark work is
+    # usually the tail of our own load settling (page-cache/IO churn from
+    # the just-deleted shuffle dirs), not a closed host window — controls
+    # show pure CPU and pure DRAM burns leave the probe healthy while the
+    # long bench transiently depresses it, recovering within a minute.
+    # Distinguish the two honestly: retry ONCE after a settle pause and
+    # record both readings; degraded only if the retry also fails.
+    post_probe_retry = None
+    if RUN_PROBE and not post_probe.get("healthy"):
+        time.sleep(75)
+        post_probe_retry = scan_probe()
 
-    degraded = RUN_PROBE and not (
-        pre_probe.get("healthy") and post_probe.get("healthy")
+    post_ok = post_probe.get("healthy") or (
+        post_probe_retry is not None and post_probe_retry.get("healthy")
     )
+    degraded = RUN_PROBE and not (pre_probe.get("healthy") and post_ok)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -237,6 +249,7 @@ def main() -> None:
         "runs": runs,
         "probe_pre": pre_probe,
         "probe_post": post_probe,
+        "probe_post_retry": post_probe_retry,
         "probe_quiet_archive_rows_per_sec": QUIET_SCAN_ROWS_PER_SEC,
         "host_degraded": degraded,
     }))
