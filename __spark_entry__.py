@@ -326,6 +326,50 @@ def q_exact_dup_groups(spark, sf):
     )
 
 
+def _neardup_clusters(spark, sf):
+    """Near-dup cluster assignment: ConnectedComponents over the exact
+    3-gram-Jaccard >= 0.5 pair graph (the same graph ngram_jaccard_pairs /
+    minhash_lsh_dedup are checked against), cluster_id = min doc_id in the
+    component. Oracle side replicates it with the recursive-CTE reachability
+    pattern of the connected_components oracle."""
+    from recordlinkage_spark.network import ConnectedComponents
+
+    pairs = q_ngram_jaccard_pairs(spark, sf).select("id_1", "id_2")
+    return ConnectedComponents().compute(pairs).withColumnRenamed("id", "doc_id")
+
+
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware survivor selection (network.select_representatives,
+    quality-desc ordering — the DedupPipeline ``quality_col`` path): one
+    keep per duplicate cluster — the highest quality_score member, ties to
+    the lowest doc_id; singletons (docs in no cluster) keep with
+    cluster_id = own id. The cluster relation is the near-dup CC graph
+    (_neardup_clusters) so the whole chain is DuckDB-expressible."""
+    from recordlinkage_spark import textfns
+    from recordlinkage_spark.network import select_representatives
+
+    docs = _t(spark, sf, "documents")
+    toks = textfns.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", _r6(textfns.quality_score(F.col("text"), toks)).alias("quality")
+    )
+    return select_representatives(
+        _neardup_clusters(spark, sf), scored, id_col="doc_id",
+        order_cols=[F.desc("quality")],
+    ).select(
+        "doc_id", "cluster_id",
+        F.col("is_representative").cast("int").alias("keep"),
+    )
+
+
+def q_cluster_size_stats(spark, sf):
+    """Duplicate-cluster size histogram (measures.cluster_size_stats) over
+    the near-dup clusters."""
+    from recordlinkage_spark.measures import cluster_size_stats
+
+    return cluster_size_stats(_neardup_clusters(spark, sf))
+
+
 def _shingles3(docs):
     from recordlinkage_spark import textfns
 
@@ -984,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text analysis
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
+        "dedup_keep_best": q_dedup_keep_best,
+        "cluster_size_stats": q_cluster_size_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_candidates": q_simhash_candidates,
@@ -1285,6 +1331,78 @@ def oracle_sql() -> dict[str, str]:
                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
                   FROM documents)
             GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE sh AS ({_SH3}),
+            e AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ),
+            sym AS (SELECT id_1 a, id_2 b FROM e UNION SELECT id_2, id_1 FROM e),
+            reach AS (
+              SELECT a s, b d FROM sym
+              UNION SELECT a, a FROM sym
+              UNION SELECT r.s, y.b FROM reach r JOIN sym y ON r.d = y.a
+            ),
+            cl AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+            f AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                  / length(text) AS punct_ratio,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> list_contains([{stop_list}], t)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                round((least(n_tokens / 20.0, 1.0)
+                     + (1.0 - least(punct_ratio * 4.0, 1.0))
+                     + least(stopword_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+              FROM f
+            ),
+            w AS (
+              SELECT doc_id AS win_id, cluster_id
+              FROM (SELECT cl.doc_id, cl.cluster_id,
+                           row_number() OVER (PARTITION BY cl.cluster_id
+                                              ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+                    FROM cl JOIN q USING (doc_id))
+              WHERE rn = 1
+            )
+            SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                   CASE WHEN cl.cluster_id IS NULL OR d.doc_id = w.win_id
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d
+            LEFT JOIN cl USING (doc_id)
+            LEFT JOIN w ON cl.cluster_id = w.cluster_id
+        """,
+        "cluster_size_stats": f"""
+            WITH RECURSIVE sh AS ({_SH3}),
+            e AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ),
+            sym AS (SELECT id_1 a, id_2 b FROM e UNION SELECT id_2, id_1 FROM e),
+            reach AS (
+              SELECT a s, b d FROM sym
+              UNION SELECT a, a FROM sym
+              UNION SELECT r.s, y.b FROM reach r JOIN sym y ON r.d = y.a
+            ),
+            cl AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+            cs AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM cl GROUP BY cluster_id
+            )
+            SELECT cluster_size,
+                   count(*) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM cs GROUP BY cluster_size
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,

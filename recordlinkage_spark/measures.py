@@ -8,6 +8,7 @@ driver-side arithmetic on the resulting counts (tiny).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 PAIR = ["id_1", "id_2"]
 
@@ -81,6 +82,21 @@ def pair_recall(truth: DataFrame, pred: DataFrame) -> float:
     tp = true_positives(truth, pred)
     fn = false_negatives(truth, pred)
     return recall(tp, fn)
+
+
+def cluster_size_stats(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Duplicate-cluster size histogram: ``(cluster_size, n_clusters,
+    n_docs)`` — the first thing to inspect after a dedup run (a fat tail
+    means boilerplate collapsed into mega-clusters; compare against the
+    dropped-bucket accumulators). Two hash aggregates with map-side
+    partial combine; no joins, no windows — safe at any corpus size."""
+    sizes = clusters.groupBy(cluster_col).agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
 
 
 def cluster_pair_recall(truth: DataFrame, clusters: DataFrame, id_col="id") -> float:

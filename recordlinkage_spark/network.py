@@ -414,21 +414,27 @@ def select_representatives(
 
     Returns ``attrs``' rows plus (cluster_col, is_representative).
 
-    Scale: one left join (clusters is ids+labels — AQE broadcasts it when
-    small, shuffles on id otherwise) and one window over cluster_col with
-    a row_number — a single shuffle of (id, cluster, order keys), no
-    Python. Window skew equals cluster skew, which upstream cluster caps
-    already bound.
+    Scale: the row_number window runs over the CLUSTERED rows only — the
+    inner join against ``clusters`` restricts the attrs side to docs that
+    appear in some duplicate cluster (typically a small fraction of the
+    corpus), so the full corpus never enters the window shuffle; the
+    singletons rejoin via a left-anti join (AQE broadcasts the cluster ids
+    when they fit) as their own trivially-kept representative. Window skew
+    equals cluster skew, which upstream cluster caps already bound.
     """
     from pyspark.sql import Window
 
-    joined = attrs.join(
-        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "left"
-    ).withColumn(
-        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
-    )
     order = list(order_cols or []) + [F.asc(id_col)]
+    clustered = attrs.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "inner"
+    )
     w = Window.partitionBy(cluster_col).orderBy(*order)
-    return joined.withColumn(
+    ranked = clustered.withColumn(
         "is_representative", F.row_number().over(w) == 1
     )
+    singletons = (
+        attrs.join(clusters.select(id_col), id_col, "left_anti")
+        .withColumn(cluster_col, F.col(id_col))
+        .withColumn("is_representative", F.lit(True))
+    )
+    return ranked.unionByName(singletons)

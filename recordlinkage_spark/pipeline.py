@@ -148,8 +148,14 @@ class DedupPipeline:
         records: DataFrame,
         id_col: str = "url",
         text_col: str = "text",
+        quality_col: str | None = None,
     ) -> dict[str, DataFrame]:
-        """Returns {'pairs': ..., 'matches': ..., 'clusters': ...}."""
+        """Returns {'pairs': ..., 'matches': ..., 'clusters': ...}; with
+        ``quality_col`` set, also ``'keep'`` — the per-record survivor flag
+        ``(id, cluster_id, keep)`` from ``network.select_representatives``
+        ordered by quality descending (best-quality doc per duplicate
+        cluster instead of the arbitrary min-id default; singletons keep
+        with ``cluster_id`` = own id)."""
         from recordlinkage_spark.minhash import bucket_pairs, exact_jaccard, make_signature_udf
 
         spark = records.sparkSession
@@ -253,4 +259,20 @@ class DedupPipeline:
                 "id", id_col
             ),
         )
-        return {"pairs": pairs, "matches": matches, "clusters": clusters}
+        out = {"pairs": pairs, "matches": matches, "clusters": clusters}
+        if quality_col is not None:
+            from recordlinkage_spark.network import select_representatives
+
+            out["keep"] = self._stage(
+                spark, "keep",
+                lambda: select_representatives(
+                    clusters,
+                    records.select(id_col, quality_col),
+                    id_col=id_col,
+                    order_cols=[F.desc(quality_col)],
+                ).select(
+                    id_col, "cluster_id",
+                    F.col("is_representative").alias("keep"),
+                ),
+            )
+        return out
