@@ -81,12 +81,16 @@ def main(sf_dir: str, only: list[str]):
             ok = False
             msgs.append(f"rowcount {len(srows)} != {len(orows)}")
         if ok:
+            # repr-keyed sort: tuples may mix None/int/str per column
+            # (e.g. nullable cluster ids), which tuple-< cannot order
             sset = sorted(
-                tuple(norm(r[c]) for c in scols) for r in srows
+                (tuple(norm(r[c]) for c in scols) for r in srows), key=repr
             )
             # duckdb rows are positional in SELECT order; map by column name
             oidx = [ores.columns.index(c) for c in ocols]
-            oset = sorted(tuple(norm(r[i]) for i in oidx) for r in orows)
+            oset = sorted(
+                (tuple(norm(r[i]) for i in oidx) for r in orows), key=repr
+            )
             if sset != oset:
                 ok = False
                 oset_s, sset_s = set(oset), set(sset)
