@@ -188,6 +188,7 @@ def semantic_dedup(
     block: int = 1024,
     dropped_acc=None,
     cc: ConnectedComponents | None = None,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """SemDeDup: ``(id, component, keep)`` for every non-null embedding.
 
@@ -196,6 +197,11 @@ def semantic_dedup(
     singletons); ``keep`` is true exactly for the representative, so
     ``filter(keep)`` is the deduplicated corpus and ``filter(~keep)``
     the removed semantic duplicates.
+
+    ``order_cols`` (e.g. ``[F.desc("quality")]``; columns must exist on
+    ``corpus``) switches the representative from min-id to an explicit
+    keep policy via ``network.select_representatives`` — the same
+    survivorship contract as ``DedupPipeline.run(quality_col=...)``.
 
     Pass ``centroids`` to reuse a trained quantizer across snapshots
     (incremental dedup of a growing corpus keeps assignments stable);
@@ -219,6 +225,18 @@ def semantic_dedup(
     comp = (cc or ConnectedComponents()).compute(
         edges.select("id_1", "id_2")
     )
+    if order_cols:
+        from recordlinkage_spark.network import select_representatives
+
+        attrs = corpus.drop(vec_col).withColumnRenamed(id_col, "id")
+        reps = select_representatives(
+            comp, attrs, id_col="id", order_cols=list(order_cols)
+        )
+        return reps.select(
+            "id",
+            F.col("cluster_id").alias("component"),
+            F.col("is_representative").alias("keep"),
+        )
     ids = corpus.select(F.col(id_col).alias("id"))
     return (
         ids.join(comp, "id", "left")

@@ -96,3 +96,28 @@ def test_pipeline_keep_stage(spark, tmp_path):
     assert out["keep"].columns == ["url", "cluster_id", "keep"]
     got = {r["url"]: r["keep"] for r in out["keep"].collect()}
     assert got == {"u1": False, "u2": True, "u3": True, "u4": True}
+
+
+def test_pipeline_keep_stage_resumes(spark, tmp_path):
+    """The keep stage participates in checkpoint/resume like every other
+    stage: it lands in the manifest, and a second run with the same
+    work_dir skips it (no new metrics entries) with identical output."""
+    import json
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [("u1", base, 0.5), ("u2", base, 1.0), ("u3", "different text", 0.5)],
+        "url string, text string, q double",
+    )
+    work = str(tmp_path / "wd")
+    p1 = DedupPipeline(work_dir=work, jaccard_threshold=0.5)
+    out1 = p1.run(docs, id_col="url", text_col="text", quality_col="q")
+    keep1 = sorted(map(tuple, out1["keep"].collect()))
+
+    mf = json.loads((tmp_path / "wd" / "manifest.json").read_text())
+    assert "keep" in mf
+
+    p2 = DedupPipeline(work_dir=work, jaccard_threshold=0.5)
+    out2 = p2.run(docs, id_col="url", text_col="text", quality_col="q")
+    assert p2.metrics == []  # everything resumed, keep included
+    assert sorted(map(tuple, out2["keep"].collect())) == keep1

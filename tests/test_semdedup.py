@@ -97,6 +97,30 @@ def test_keep_one_per_duplicate_group(spark):
     assert (out["keep"]).sum() == len(X) - n_dup_rows + n_dup_rows // 3
 
 
+def test_keep_policy_order_cols(spark):
+    """order_cols switches the representative from min-id to an explicit
+    keep policy (same survivorship contract as the pipeline's
+    quality_col path): highest quality wins within every component,
+    min-id only as the tiebreak; singletons unaffected."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    X, dup_pairs = _blobs_with_dups(rng, n_blobs=3, per_blob=10,
+                                    n_dup_groups=6)
+    # quality = id (descending ids win) -> representative is the MAX id
+    df = _emb_df(spark, X).withColumn(
+        "quality", F.col("vec_id").cast("double")
+    )
+    out = semantic_dedup(df, n_lists=1, threshold=0.999999,
+                         sample_rows=1000,
+                         order_cols=[F.desc("quality")]).toPandas()
+    assert len(out) == len(X)
+    for comp, grp in out.groupby("component"):
+        assert grp["keep"].sum() == 1
+        assert grp.loc[grp["keep"], "id"].iloc[0] == grp["id"].max()
+        assert comp == grp["id"].min()  # component label stays min-id
+
+
 def test_multi_cluster_recall_floor(spark):
     """Planted near-identical dups must survive the coarse quantizer:
     copies at noise 1e-4 share a nearest centroid essentially always."""
