@@ -199,7 +199,16 @@ def main() -> None:
 
     tries, sleep = args.loop if args.loop else (1, 0)
     for i in range(tries):
-        rec = attempt(args.n_docs, n_lo, n_hi)
+        try:
+            rec = attempt(args.n_docs, n_lo, n_hi)
+        except Exception as exc:  # a dead executor mid-run must not end
+            rec = {                # the loop — record it and retry
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "n_docs": args.n_docs,
+                "verdict": "attempt_failed",
+                "error": str(exc)[-1500:],
+            }
+            print(f"attempt failed: {str(exc)[-300:]}", flush=True)
         append(rec)
         if rec["verdict"] == "gate_met":
             break
