@@ -52,7 +52,7 @@ OUT = REPO / "BENCH" / "SUBMIT_SCALING.json"
 # cliff is a host artifact no real cluster has, where each added executor
 # brings its own memory controllers). Attempt 1 in SUBMIT_SCALING.json
 # measured exactly that cliff with 4-core executors (eff 0.243).
-CORES_PER_EXEC = 2
+CORES_PER_EXEC = 2  # override with --cores; see main()
 EXEC_MEM_MB = 8192
 
 
@@ -192,9 +192,17 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=400_000)
     ap.add_argument("--execs", default="1,4",
                     help="lo,hi executor counts (default 1,4)")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="cores per executor (default 2; 1 keeps BOTH "
+                         "sides of a 1,4 pair under this VM's ~16-thread "
+                         "bandwidth knee — each executor runs one task "
+                         "thread + one Python worker)")
     ap.add_argument("--loop", nargs=2, type=int, metavar=("N", "SLEEP"),
                     help="retry up to N times, SLEEP sec apart, until gate_met")
     args = ap.parse_args()
+    if args.cores:
+        global CORES_PER_EXEC
+        CORES_PER_EXEC = args.cores
     n_lo, n_hi = (int(x) for x in args.execs.split(","))
 
     tries, sleep = args.loop if args.loop else (1, 0)
