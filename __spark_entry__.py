@@ -982,6 +982,74 @@ def q_reduction_ratio_multipass(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# sharding / splits / sampling (training-data assignment, sharding.py)
+# ---------------------------------------------------------------------------
+
+def q_shard_assign(spark, sf):
+    """Deterministic output sharding (sharding.shard_assign, md5 flavor so
+    the oracle can reproduce the hash bit-exactly): 16 shards keyed on
+    doc_id, per-shard doc count and char volume. Production uses the
+    cheaper xxhash64 flavor; both share bucket semantics (pytest-gated)."""
+    from recordlinkage_spark.sharding import shard_assign
+
+    docs = _t(spark, sf, "documents")
+    out = shard_assign(docs, "doc_id", 16, hash_fn="md5", salt="r4")
+    return (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("shard")
+    )
+
+
+def q_cluster_aware_split(spark, sf):
+    """Leakage-safe train/val/test split (sharding.cluster_aware_split):
+    every member of a dedup cluster hashes on its CLUSTER key, so no
+    near-dup pair straddles train and eval (Lee et al. 2022's train-test
+    contamination mode). Clusters = the same synthetic decade components
+    as `connected_components`; the oracle recomputes the assignment from
+    the closed-form cluster key, independent of the CC iteration."""
+    from recordlinkage_spark.network import ConnectedComponents
+    from recordlinkage_spark.sharding import cluster_aware_split
+
+    cust = _t(spark, sf, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("id_1"),
+        (F.col("c_custkey") - F.col("c_custkey") % 10).alias("id_2"),
+    ).filter(F.col("id_1") != F.col("id_2"))
+    clusters = ConnectedComponents().compute(edges).withColumnRenamed(
+        "id", "c_custkey"
+    )
+    out = cluster_aware_split(
+        cust, clusters, "c_custkey",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5", salt="v1",
+    )
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("split_key").alias("n_clusters"))
+        .orderBy("split")
+    )
+
+
+def q_stratified_sample(spark, sf):
+    """Per-language deterministic sampling (sharding.deterministic_sample):
+    keep 50% of 'en' docs and 25% of every other language, keyed on
+    doc_id — a per-group token-budget downsample with NO RNG state, so a
+    grown corpus never resamples old rows and samples nest under budget
+    growth (pytest-gated subset property)."""
+    from recordlinkage_spark.sharding import deterministic_sample
+
+    docs = _t(spark, sf, "documents")
+    out = deterministic_sample(
+        docs, "doc_id", fraction=0.25, by="lang",
+        fractions={"en": 0.5}, salt="s1", hash_fn="md5",
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1062,6 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "eval_measures": q_eval_measures,
         "reduction_ratio_multipass": q_reduction_ratio_multipass,
+        # sharding / splits / sampling
+        "shard_assign": q_shard_assign,
+        "cluster_aware_split": q_cluster_aware_split,
+        "stratified_sample": q_stratified_sample,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
     }
@@ -1937,5 +2009,45 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM uni),
                    round(1.0 - (SELECT count(*) FROM uni)::DOUBLE / f, 6)
             FROM fullsz
+        """,
+        # the md5 hash flavor is bit-portable: Spark
+        # conv(substr(md5(k || salt),1,15),16,10) == DuckDB
+        # ('0x' || substr(md5(k || salt),1,15))::BIGINT  (60-bit, positive)
+        "shard_assign": """
+            SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM (
+              SELECT (('0x' || substr(md5(doc_id::VARCHAR || 'r4'), 1, 15))::BIGINT
+                      % 16)::INT AS shard,
+                     n_chars
+              FROM documents
+            )
+            GROUP BY shard ORDER BY shard
+        """,
+        "cluster_aware_split": """
+            WITH b AS (
+              SELECT c_custkey,
+                     c_custkey - c_custkey % 10 AS grp,
+                     ('0x' || substr(md5((c_custkey - c_custkey % 10)::VARCHAR
+                                         || 'v1'), 1, 15))::BIGINT
+                     % 1000000 AS bkt
+              FROM customer
+            )
+            SELECT CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_rows,
+                   count(DISTINCT grp) AS n_clusters
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "stratified_sample": """
+            SELECT lang, count(*) AS n_docs
+            FROM (
+              SELECT lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15))::BIGINT
+                     % 1000000 AS bkt
+              FROM documents
+            )
+            WHERE bkt < CASE WHEN lang = 'en' THEN 500000 ELSE 250000 END
+            GROUP BY lang ORDER BY lang
         """,
     }
