@@ -1049,6 +1049,83 @@ def q_stratified_sample(spark, sf):
     return out.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk sequence packing (sharding.pack_sequences,
+    md5 flavor): per-shard doc counts, pack counts, and boundary-spanning
+    docs at a 20k-char budget over 8 shards. The oracle reproduces the
+    whole layout with a window cumsum over the identical hash order."""
+    from recordlinkage_spark.sharding import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    out = pack_sequences(
+        docs, "doc_id", "n_chars", budget=20000, n_shards=8,
+        salt="pk", hash_fn="md5",
+    )
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_select_by_budget(spark, sf):
+    """Quality-ranked token-budget selection (sharding.select_by_budget,
+    exact mode): rank docs by a deterministic score (n_chars % 97, doc_id
+    tiebreak) and keep the best until 50k chars are selected, boundary
+    doc included. The oracle replays the identical window-cumsum rule.
+    Production uses mode='threshold' (histogram cutoff, no global sort —
+    pytest-gated accuracy bound); exact mode is the oracle surface."""
+    from recordlinkage_spark.sharding import select_by_budget
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "score", (F.col("n_chars") % 97).cast("double")
+    )
+    out = select_by_budget(
+        docs, "doc_id", "score", "n_chars", 50000, mode="exact"
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def q_cap_per_group(spark, sf):
+    """Per-domain contribution cap (sharding.cap_per_group): keep at most
+    40 docs per language, best-first by (n_chars desc, doc_id asc) — the
+    C4/Gopher domain-balancing step with lang standing in for host. The
+    oracle replays the identical row_number rule."""
+    from recordlinkage_spark.sharding import cap_per_group
+
+    docs = _t(spark, sf, "documents")
+    out = cap_per_group(docs, "lang", "doc_id", cap=40, order_col="n_chars")
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def q_corpus_stats(spark, sf):
+    """One-pass corpus observability summary (textfns.corpus_stats): doc
+    count, distinct-text count (md5 fingerprint), exact-dup rate, char and
+    whitespace-token volumes, language count."""
+    from recordlinkage_spark.textfns import corpus_stats
+
+    docs = _t(spark, sf, "documents")
+    return corpus_stats(docs, "text", lang_col="lang")
+
+
+def q_unigram_logprob(spark, sf):
+    """Self-trained unigram-LM quality score (textfns.unigram_logprob):
+    mean per-token log-probability under the corpus's own add-k-smoothed
+    unigram model (CCNet §3.2's perplexity bucketing with the external
+    KenLM stage replaced by a self-trained model) — vocab_size=256,
+    add_k=0.5 over documents."""
+    from recordlinkage_spark.textfns import unigram_logprob
+
+    docs = _t(spark, sf, "documents")
+    return unigram_logprob(
+        docs, "doc_id", "text", vocab_size=256, add_k=0.5
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1134,6 +1211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "cluster_aware_split": q_cluster_aware_split,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "select_by_budget": q_select_by_budget,
+        "cap_per_group": q_cap_per_group,
+        # corpus observability + LM quality
+        "corpus_stats": q_corpus_stats,
+        "unigram_logprob": q_unigram_logprob,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
     }
@@ -2049,5 +2132,104 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE bkt < CASE WHEN lang = 'en' THEN 500000 ELSE 250000 END
             GROUP BY lang ORDER BY lang
+        """,
+        "pack_sequences": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     (('0x' || substr(md5(doc_id::VARCHAR || 'pk'), 1, 15))::BIGINT
+                      % 8)::INT AS shard,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'pk#order'), 1, 15))::BIGINT
+                     % 1000000 AS bkt
+              FROM documents
+            ),
+            w AS (
+              SELECT shard, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY shard ORDER BY bkt, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_prev
+              FROM h
+            )
+            SELECT shard,
+                   count(*) AS n_docs,
+                   (max(cum_prev // 20000) + 1)::BIGINT AS n_packs,
+                   sum(CASE WHEN cum_prev % 20000 + n_chars > 20000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_spanning
+            FROM w GROUP BY shard ORDER BY shard
+        """,
+        "select_by_budget": """
+            WITH s AS (
+              SELECT doc_id, n_chars, (n_chars % 97)::DOUBLE AS score
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_prev
+              FROM s
+            )
+            SELECT doc_id, n_chars FROM w
+            WHERE cum_prev < 50000 ORDER BY doc_id
+        """,
+        "cap_per_group": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 40 ORDER BY doc_id
+        """,
+        "corpus_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_texts,
+                   sum(length(text))::BIGINT AS total_chars,
+                   round(avg(length(text)), 6) AS mean_chars,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END)::BIGINT AS total_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+                     AS exact_dup_rate
+            FROM documents
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents
+            ),
+            counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+            model AS (
+              SELECT (SELECT sum(c) FROM counts) AS n_total,
+                     least(256, (SELECT count(*) FROM counts)) AS v_real
+            ),
+            vocab AS (
+              SELECT tok, c FROM (
+                SELECT tok, c,
+                       row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+                FROM counts
+              ) WHERE rk <= 256
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     ln((COALESCE(v.c, 0) + 0.5)
+                        / (m.n_total + 0.5 * (m.v_real + 1))) AS logp
+              FROM toks t LEFT JOIN vocab v USING (tok), model m
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(logp), 6) AS mean_logprob
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(a.mean_logprob, 0.0) AS mean_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

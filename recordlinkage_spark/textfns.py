@@ -518,3 +518,114 @@ def render_html_expr(text_col: Column, url_col: Column) -> Column:
         ),
         "UTF-8",
     )
+
+
+def corpus_stats(
+    df, text_col: str, lang_col: str | None = None, id_col: str | None = None
+):
+    """One-row corpus observability summary — the health numbers a 100 TB
+    dedup run reports before and after each stage (the north rule's
+    metrics-table requirement at corpus granularity):
+
+      n_docs, n_distinct_texts (by md5 fingerprint), exact_dup_rate,
+      total_chars, mean_chars, total_tokens (whitespace), n_langs
+      (when ``lang_col`` given, else 0).
+
+    Scale design: ONE aggregation pass — every statistic is an exact
+    all-rows aggregate (count / sum / count(distinct fingerprint)); the
+    only shuffled bytes are the 16-byte fingerprints and lang codes of
+    the distinct aggregates, with map-side partial aggregation absorbing
+    repeats. No sampling, no Python.
+    """
+    t = F.col(text_col)
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(t)).alias("n_distinct_texts"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length(t)), 6).alias("mean_chars"),
+        F.sum(F.size(tokens(t))).cast("long").alias("total_tokens"),
+        (
+            F.countDistinct(F.col(lang_col)) if lang_col else F.lit(0).cast("long")
+        ).alias("n_langs"),
+    ]
+    out = df.agg(*aggs)
+    return out.withColumn(
+        "exact_dup_rate",
+        F.round(
+            1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6
+        ),
+    )
+
+
+def unigram_logprob(
+    df,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 65536,
+    add_k: float = 0.5,
+):
+    """Mean per-token unigram log-probability of each doc under the
+    corpus's own unigram LM — the cheap perplexity proxy the CCNet recipe
+    (Wenzek et al. 2020 §3.2) uses for quality bucketing, with the
+    KenLM stage replaced by a self-trained unigram model (no external
+    model artifacts; deterministic).
+
+    Model: lowercase whitespace tokens; the ``vocab_size`` most frequent
+    tokens (count desc, token asc tiebreak) keep their own add-k-smoothed
+    probability ``(c + k) / (N + k*(V+1))``; everything else shares the
+    OOV slot ``k / (N + k*(V+1))``. ``N`` = total corpus tokens,
+    ``V`` = realized vocab size.
+
+    Returns ``(id_col, n_tokens long, mean_logprob double)``; empty docs
+    get ``mean_logprob = 0.0``.
+
+    Scale design: two corpus passes, both shuffle-lean — (1) vocab fit:
+    explode -> ONE hash-aggregate on token (map-side combine absorbs hot
+    tokens) -> top-V rank over the aggregated table (tiny); (2) scoring:
+    explode -> BroadcastHashJoin against the V-row vocab (the corpus side
+    never shuffles to find its probabilities) -> per-doc sum, which
+    shuffles one (id, partial-sum) row per doc per map task. No Python.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))),
+    )
+    vocab = ranked.filter(F.col("rk") <= vocab_size).drop("rk")
+    # one driver action for the two model scalars (token mass, vocab size)
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_types")
+    ).collect()[0]
+    n_total = int(totals["n_total"] or 0)
+    v_real = min(vocab_size, int(totals["n_types"] or 0))
+    denom = n_total + add_k * (v_real + 1)
+    oov_logp = float(np.log(add_k / denom)) if denom > 0 else 0.0
+
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn(
+            "logp",
+            F.when(F.col("tok").isNull(), F.lit(None).cast("double"))
+            .when(
+                F.col("c").isNotNull(),
+                F.log((F.col("c") + add_k) / F.lit(denom)),
+            )
+            .otherwise(F.lit(oov_logp)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("logp").cast("long").alias("n_tokens"),
+            F.round(F.coalesce(F.avg("logp"), F.lit(0.0)), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return scored
