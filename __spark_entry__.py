@@ -1126,6 +1126,34 @@ def q_unigram_logprob(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_mix_corpora(spark, sf):
+    """Weighted multi-source corpus mixing (sharding.mix_corpora, md5
+    flavor): three document sources mixed 2:1:1 under a 16k-token budget,
+    so at sf0.01 src0 (target 8000 >= its 7949 tokens) is kept whole while
+    src1/src2 are hash-thinned to their 4000-token targets. The oracle
+    recomputes each source's rate from the identical float expression
+    ((budget*w/wsum)/total) and replays the hash-threshold filter, so the
+    per-source doc counts and token masses must match exactly."""
+    from recordlinkage_spark.sharding import mix_corpora
+
+    docs = _t(spark, sf, "documents")
+    names = ("src0", "src1", "src2")
+    sources = {s: docs.filter(F.col("source") == s) for s in names}
+    out = mix_corpora(
+        sources, "doc_id", "n_chars",
+        weights={"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        total_budget=16000, salt="mx", hash_fn="md5",
+    )
+    return (
+        out.groupBy("mix_source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("mix_tokens"),
+        )
+        .orderBy("mix_source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1217,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus observability + LM quality
         "corpus_stats": q_corpus_stats,
         "unigram_logprob": q_unigram_logprob,
+        "mix_corpora": q_mix_corpora,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
     }
@@ -2231,5 +2260,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.mean_logprob, 0.0) AS mean_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "mix_corpora": """
+            WITH w(src, wt) AS (
+              VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 1.0)
+            ),
+            tot AS (
+              SELECT source, sum(n_chars)::DOUBLE AS total
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+              GROUP BY source
+            ),
+            thr AS (
+              -- mirror deterministic_sample's threshold: rate computed as
+              -- ((budget * w / wsum) / total), scaled by 1e6 buckets and
+              -- TRUNCATED (floor on a non-negative value == Spark's
+              -- cast-to-long); whole-source keep when total <= target
+              SELECT t.source,
+                     CASE WHEN t.total <= 16000.0 * w.wt / 4.0
+                          THEN 1000000::BIGINT
+                          ELSE floor(16000.0 * w.wt / 4.0 / t.total
+                                     * 1000000)::BIGINT END AS cut
+              FROM tot t JOIN w ON t.source = w.src
+            )
+            SELECT d.source AS mix_source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(d.n_chars)::BIGINT AS mix_tokens
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mx|' || d.source),
+                                  1, 15))::BIGINT % 1000000 < thr.cut
+            GROUP BY d.source ORDER BY mix_source
         """,
     }
