@@ -1154,6 +1154,41 @@ def q_mix_corpora(spark, sf):
     )
 
 
+def q_filter_urls(spark, sf):
+    """URL blocklist stage (webtext.filter_urls): per-reason drop counts
+    over a deterministic URL column built from documents (scheme break on
+    doc_id%11, blocked-domain subdomains on doc_id%7, session-id pattern
+    on doc_id%5 — built identically on both sides). The oracle re-parses
+    the URLs with the same RE2-safe regexes and replays the
+    scheme > host-suffix > pattern precedence."""
+    from recordlinkage_spark.webtext import filter_urls
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 11 == 0, F.lit("ftp://")).otherwise(F.lit("https://")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("crawl."), F.col("source"), F.lit(".spam.example")),
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.org"))),
+        F.lit("/doc/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("?session=x")).otherwise(F.lit("")),
+    )
+    out = filter_urls(
+        docs.select("doc_id", url.alias("url")),
+        "url",
+        blocked_hosts=["spam.example"],
+        blocked_url_patterns=[r"\?session="],
+        reason_col="why",
+    )
+    return (
+        out.groupBy(F.coalesce(F.col("why"), F.lit("kept")).alias("block_reason"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("block_reason")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1246,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "unigram_logprob": q_unigram_logprob,
         "mix_corpora": q_mix_corpora,
+        "filter_urls": q_filter_urls,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
     }
@@ -2290,5 +2326,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mx|' || d.source),
                                   1, 15))::BIGINT % 1000000 < thr.cut
             GROUP BY d.source ORDER BY mix_source
+        """,
+        "filter_urls": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 11 = 0 THEN 'ftp://' ELSE 'https://' END)
+                     || (CASE WHEN doc_id % 7 = 0
+                              THEN 'crawl.' || source || '.spam.example'
+                              ELSE source || '.example.org' END)
+                     || '/doc/' || doc_id::VARCHAR
+                     || (CASE WHEN doc_id % 5 = 0 THEN '?session=x' ELSE '' END)
+                     AS url
+              FROM documents
+            ),
+            parsed AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS scheme,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host
+              FROM u
+            ),
+            judged AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+                       WHEN host = 'spam.example'
+                            OR host LIKE '%.spam.example' THEN 'host'
+                       WHEN regexp_matches(url, '\\?session=') THEN 'pattern'
+                       ELSE 'kept'
+                     END AS block_reason
+              FROM parsed
+            )
+            SELECT block_reason, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS min_doc
+            FROM judged GROUP BY block_reason ORDER BY block_reason
         """,
     }

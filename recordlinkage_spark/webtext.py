@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 # Query parameters that never change page identity (analytics / click
 # tracking); stripped before canonical comparison.
@@ -406,3 +407,136 @@ def line_dedup(
             F.lit(0).cast("long"),
         ).alias("chars_removed"),
     )
+
+
+def host_suffixes(url_col: Column) -> Column:
+    """All dot-suffixes of the URL's host, longest first — e.g.
+    ``https://a.b.example.com/x`` -> ``[a.b.example.com, b.example.com,
+    example.com, com]``. A host is blocklisted when ANY suffix equals a
+    blocklist entry, which is the standard domain-blocklist semantics
+    (an entry ``example.com`` blocks every subdomain; cf. the UT1 lists
+    RefinedWeb §3.1 filters with). Pure JVM array expression."""
+    parts = F.split(url_host(url_col), r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def url_block_reason(
+    url_col: Column,
+    blocked_hosts: list[str] | None = None,
+    blocked_url_patterns: list[str] | None = None,
+    allowed_schemes: tuple[str, ...] | None = ("http", "https"),
+) -> Column:
+    """First-reason-wins block verdict for one URL: ``'scheme'`` when the
+    scheme is absent or not in ``allowed_schemes``, ``'host'`` when any
+    host dot-suffix is in ``blocked_hosts``, ``'pattern'`` when the full
+    URL matches any regex in ``blocked_url_patterns``, else null (kept).
+
+    The URL-filter stage is the FIRST pass of every web-corpus recipe
+    (C4 drops bad-word URLs, RefinedWeb applies the UT1 domain
+    blocklist before any text work) because it is the cheapest: here it
+    is a single JVM projection — literal lists compile into the plan,
+    so there is no join, no shuffle, and no Python at any corpus size.
+    For blocklists too large to embed in a plan (UT1 is ~4M domains)
+    use ``filter_urls(..., blocked_host_df=...)``, which trades the
+    literal for per-suffix-depth broadcast hash joins.
+    """
+    u = F.trim(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    reason = F.lit(None).cast("string")
+    if blocked_url_patterns:
+        pat = "|".join(f"(?:{p})" for p in blocked_url_patterns)
+        reason = F.when(u.rlike(pat), F.lit("pattern")).otherwise(reason)
+    if blocked_hosts:
+        hit = F.exists(
+            host_suffixes(url_col), lambda s: s.isin(*blocked_hosts)
+        )
+        reason = F.when(hit, F.lit("host")).otherwise(reason)
+    if allowed_schemes is not None:
+        reason = F.when(
+            ~scheme.isin(*[s.lower() for s in allowed_schemes]),
+            F.lit("scheme"),
+        ).otherwise(reason)
+    return reason
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str,
+    blocked_hosts: list[str] | None = None,
+    blocked_host_df: DataFrame | None = None,
+    blocked_url_patterns: list[str] | None = None,
+    allowed_schemes: tuple[str, ...] | None = ("http", "https"),
+    suffix_depths: tuple[int, ...] = (0, 2, 3, 4),
+    reason_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose URL trips the blocklist stage; with ``reason_col``
+    set, KEEP all rows and attach the block reason instead (null = kept)
+    — the observability mode a pipeline uses to report per-reason drop
+    counts to its metrics table.
+
+    Two host-blocklist flavors, both zero-corpus-shuffle:
+
+    - ``blocked_hosts`` (Python list): compiled into the plan as a
+      literal ``exists`` over ALL host dot-suffixes — exact suffix
+      semantics at any depth, no join. Right up to ~1e4 entries.
+    - ``blocked_host_df`` (single-column ``host`` DataFrame): one
+      explicitly-``broadcast()`` LEFT hash join per entry in
+      ``suffix_depths`` (0 = the full host, k = its last k labels) —
+      the corpus side never exchanges, and 4M-domain lists ride the
+      broadcast. Depth coverage: an entry with k labels is matched by
+      the depth-k join (and the full-host join when equal), so the
+      default ``(0,2,3,4)`` covers every registrable domain up to 4
+      labels; raise it for deeper entries. Entries deeper than
+      ``max(suffix_depths)`` labels are the caller's to add.
+
+    Reason precedence matches ``url_block_reason``: scheme > host >
+    pattern.
+    """
+    u = F.col(url_col)
+    base = url_block_reason(
+        u,
+        blocked_hosts=blocked_hosts,
+        blocked_url_patterns=blocked_url_patterns,
+        allowed_schemes=allowed_schemes,
+    )
+    out = df
+    if blocked_host_df is not None:
+        parts = F.split(url_host(u), r"\.")
+        flags = []
+        for d in suffix_depths:
+            key = (
+                url_host(u)
+                if d == 0
+                else F.when(
+                    F.size(parts) >= d,
+                    F.array_join(
+                        F.slice(parts, F.size(parts) - d + 1, F.lit(d)), "."
+                    ),
+                )
+            )
+            flag = f"_blk{d}"
+            bl = broadcast(
+                blocked_host_df.select(
+                    F.col("host").alias(f"_bh{d}"), F.lit(True).alias(flag)
+                ).dropDuplicates([f"_bh{d}"])
+            )
+            out = out.join(bl, key == F.col(f"_bh{d}"), "left").drop(f"_bh{d}")
+            flags.append(flag)
+        df_hit = F.coalesce(*[F.col(f) for f in flags], F.lit(False))
+        # splice the join verdict into the literal chain at 'host' rank:
+        # scheme still wins, pattern only fires when neither host path hit
+        scheme_hit = base == F.lit("scheme")
+        reason = (
+            F.when(scheme_hit, F.lit("scheme"))
+            .when(df_hit | (base == F.lit("host")), F.lit("host"))
+            .otherwise(base)
+        )
+        out = out.withColumn(reason_col or "_url_block", reason).drop(*flags)
+    else:
+        out = out.withColumn(reason_col or "_url_block", base)
+    if reason_col is None:
+        out = out.filter(F.col("_url_block").isNull()).drop("_url_block")
+    return out

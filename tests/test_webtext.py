@@ -358,3 +358,71 @@ class TestRedactPii:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestFilterUrls:
+    URLS = [
+        (1, "https://ok-site.org/page"),
+        (2, "https://sub.spam.example/x"),          # suffix of blocklist entry
+        (3, "https://spam.example/y"),              # exact blocklist entry
+        (4, "ftp://ok-site.org/z"),                 # bad scheme
+        (5, "https://notspam.example.net/a"),       # 'spam.example' is NOT a suffix
+        (6, "https://ok-site.org/buy?session=abc"), # pattern hit
+        (7, "https://deep.a.b.spam.example/q"),     # deep subdomain, still a suffix
+        (8, "ftp://spam.example/both"),             # scheme wins over host
+    ]
+    BLOCKED = ["spam.example"]
+    PATTERNS = [r"\?session="]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.URLS, "id long, url string")
+
+    def test_literal_reasons(self, spark):
+        out = webtext.filter_urls(
+            self._df(spark), "url", blocked_hosts=self.BLOCKED,
+            blocked_url_patterns=self.PATTERNS, reason_col="why",
+        )
+        got = {r["id"]: r["why"] for r in out.collect()}
+        assert got == {1: None, 2: "host", 3: "host", 4: "scheme",
+                       5: None, 6: "pattern", 7: "host", 8: "scheme"}
+
+    def test_literal_filter_drops(self, spark):
+        out = webtext.filter_urls(
+            self._df(spark), "url", blocked_hosts=self.BLOCKED,
+            blocked_url_patterns=self.PATTERNS,
+        )
+        assert sorted(r["id"] for r in out.collect()) == [1, 5]
+        assert out.columns == ["id", "url"]
+
+    def test_dataframe_blocklist_matches_literal(self, spark):
+        bl = spark.createDataFrame([(h,) for h in self.BLOCKED], "host string")
+        lit = webtext.filter_urls(
+            self._df(spark), "url", blocked_hosts=self.BLOCKED,
+            blocked_url_patterns=self.PATTERNS, reason_col="why",
+        )
+        dfp = webtext.filter_urls(
+            self._df(spark), "url", blocked_host_df=bl,
+            blocked_url_patterns=self.PATTERNS, reason_col="why",
+        )
+        assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, dfp.collect()))
+
+    def test_dataframe_blocklist_no_corpus_exchange(self, spark):
+        bl = spark.createDataFrame([("spam.example",)], "host string")
+        out = webtext.filter_urls(self._df(spark), "url", blocked_host_df=bl)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every host join must broadcast; the corpus side never shuffles —
+        # the only exchanges allowed are the blocklist side's dedup
+        # (hash keys named _bhN), which rides the broadcast build
+        import re as _re
+        assert "BroadcastHashJoin" in plan
+        for m in _re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+            assert m.group(1).startswith("_bh"), plan
+
+    def test_scheme_allowlist_none_disables(self, spark):
+        out = webtext.filter_urls(
+            self._df(spark), "url", blocked_hosts=self.BLOCKED,
+            allowed_schemes=None, reason_col="why",
+        )
+        got = {r["id"]: r["why"] for r in out.collect()}
+        assert got[4] is None       # ftp kept when scheme check is off
+        assert got[8] == "host"     # host verdict surfaces instead
