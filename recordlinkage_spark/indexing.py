@@ -179,6 +179,11 @@ class SortedNeighbourhood(BaseIndexAlgorithm):
         right = self._ranked(df_b, self.right_on, id_col, self.block_right_on, "2")
         # Global dense rank over the distinct union of sort-key values
         # (reference index.py:249-253,303-313 factorizes over the same union).
+        # The unpartitioned window funnels the distinct-key table through
+        # ONE task — acceptable here because SNI is a linkage parity pass
+        # over person-scale key domains (module header: the web-scale
+        # passes are minhash/simhash/suffix); a corpus-scale sort key
+        # does not belong in this indexer.
         keys = (
             left.select("_snk")
             .union(right.select("_snk"))
@@ -264,6 +269,9 @@ class NeighbourhoodBlock(BaseIndexAlgorithm):
                 .union(df_b.select(F.col(kb).alias("_v")))
                 .filter(F.col("_v").isNotNull())
                 .distinct()
+                # single-task window over the distinct per-field value
+                # domain — fine for this contrib linkage pass (see the
+                # SNI note above); not a corpus-scale path
                 .withColumn(f"_rk_{i}", F.dense_rank().over(Window.orderBy("_v")))
             )
             l_parts.append(

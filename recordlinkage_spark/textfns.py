@@ -581,13 +581,17 @@ def unigram_logprob(
 
     Scale design: two corpus passes, both shuffle-lean — (1) vocab fit:
     explode -> ONE hash-aggregate on token (map-side combine absorbs hot
-    tokens) -> top-V rank over the aggregated table (tiny); (2) scoring:
-    explode -> BroadcastHashJoin against the V-row vocab (the corpus side
-    never shuffles to find its probabilities) -> per-doc sum, which
-    shuffles one (id, partial-sum) row per doc per map task. No Python.
+    tokens) -> top-V via ``orderBy().limit(V)``, which Catalyst compiles
+    to a distributed top-K (per-partition LocalLimit under a total
+    order), NOT a single-partition window: the distinct-token table of a
+    web corpus is billions of rows (typo/URL/hash tail), so a global
+    ``row_number`` window — whose WindowExec moves every row to ONE
+    task — would be the bottleneck; the V survivors are driver-sized by
+    definition since they feed a broadcast. (2) scoring: explode ->
+    BroadcastHashJoin against the V-row vocab (the corpus side never
+    shuffles to find its probabilities) -> per-doc sum, which shuffles
+    one (id, partial-sum) row per doc per map task. No Python.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
@@ -595,11 +599,9 @@ def unigram_logprob(
     counts = toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
         F.count("*").cast("long").alias("c")
     )
-    ranked = counts.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))),
-    )
-    vocab = ranked.filter(F.col("rk") <= vocab_size).drop("rk")
+    # (c desc, tok asc) is a total order over distinct tokens, so the
+    # first V rows are exactly the rows a rank-<=-V filter would keep
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
     # one driver action for the two model scalars (token mass, vocab size)
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("n_types")
