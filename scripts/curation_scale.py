@@ -104,16 +104,26 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    def run(name: str, fn) -> None:
-        t0 = time.time()
-        extra = fn()
-        secs = round(time.time() - t0, 2)
+    def run(name: str, fn, repeats: int = 2) -> None:
+        # bench.py protocol: the probe bracket cannot see a contended
+        # stretch INSIDE the run, so take best-of-N per op (ops are
+        # deterministic; the min is the least-contended sample) and
+        # keep every rep in the record
+        reps = []
+        extra = None
+        for _ in range(repeats):
+            t0 = time.time()
+            extra = fn()
+            reps.append(round(time.time() - t0, 2))
+        secs = min(reps)
         results[name] = {
             "secs": secs, "docs_per_sec": round(n_docs / secs, 1),
+            "reps": reps,
             **(extra or {}),
         }
-        print(f"{name}: {secs}s ({results[name]['docs_per_sec']} docs/s) "
-              f"{extra or ''}", flush=True)
+        print(f"{name}: {secs}s best-of {reps} "
+              f"({results[name]['docs_per_sec']} docs/s) {extra or ''}",
+              flush=True)
 
     def run_filter_urls():
         out = webtext.filter_urls(

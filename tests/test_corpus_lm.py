@@ -100,3 +100,14 @@ def test_unigram_logprob_oov_slot(spark, corpus):
     assert out[1] == pytest.approx(want, abs=2e-6)
     # an all-OOV doc scores exactly the OOV logprob
     assert out[4] == pytest.approx(oov, abs=2e-6)
+
+
+def test_unigram_vocab_is_distributed_topk(spark, corpus):
+    # The vocab fit must compile to a distributed top-K, never to a
+    # row_number over an unpartitioned window (whose WindowExec funnels
+    # the full distinct-token table — billions of rows on a web corpus —
+    # through a single task). Regression guard for the plan shape.
+    out = unigram_logprob(corpus, "doc_id", "text", vocab_size=65536)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
