@@ -545,6 +545,28 @@ def q_line_dedup(spark, sf):
     return webtext.line_dedup(chunked, "doc_id", "text")
 
 
+def q_dedup_lines_within_doc(spark, sf):
+    """In-document repeated-line removal (webtext.dedup_lines_within_doc,
+    RefinedWeb §3.1.3 / SlimPajama extraction hygiene) over 8-token
+    pseudo-lines, with a deterministic within-doc repeat planted by
+    appending each doc's FIRST pseudo-line twice — the pass must keep the
+    original and drop both copies, preserving order. A pure projection
+    (no Exchange; plan-asserted in tests/test_webtext.py). The oracle
+    replays the planting and keeps pos == min(pos) per (doc, norm) via a
+    window."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    chunked = docs.select("doc_id", _chunk_lines(F.col("text")).alias("text"))
+    first = F.element_at(F.split(F.col("text"), r"\n", -1), 1)
+    planted = chunked.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), first, first).alias("text"),
+    )
+    d = webtext.dedup_lines_within_doc(F.col("text"))
+    return planted.select("doc_id", *[v.alias(k) for k, v in d.items()])
+
+
 def q_gopher_quality(spark, sf):
     """Gopher repetition/quality signals (webtext.gopher_quality_features,
     Rae et al. 2021 A1 subset) over 8-token pseudo-lines — a zero-shuffle
@@ -1248,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
+        "dedup_lines_within_doc": q_dedup_lines_within_doc,
         "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
@@ -1761,6 +1784,50 @@ def oracle_sql() -> dict[str, str]:
                                   chr(10) ORDER BY pos), '') AS text_deduped,
               count(*) AS n_lines,
               coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS n_removed,
+              coalesce(sum(CASE WHEN is_dup THEN length(line) ELSE 0 END), 0)
+                AS chars_removed
+            FROM flagged GROUP BY doc_id
+        """,
+        # in-doc repeated-line removal: replay the 8-token chunking and
+        # the planted first-line repeats, keep pos == min(pos) over
+        # (doc, norm); empty-norm lines always kept
+        "dedup_lines_within_doc": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            ls AS (
+              SELECT doc_id,
+                list_transform(range(CAST(ceil(len(t)/8.0) AS BIGINT)),
+                  i -> array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS l
+              FROM toks
+            ),
+            planted AS (
+              SELECT doc_id, list_append(list_append(l, l[1]), l[1]) AS l
+              FROM ls
+            ),
+            e0 AS (
+              SELECT doc_id, l, unnest(range(len(l))) AS pos FROM planted
+            ),
+            keyed AS (
+              SELECT doc_id, pos, l[pos+1] AS line,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  lower(l[pos+1]), '[0-9]+', '', 'g'), '[^a-z ]', '', 'g'),
+                  ' +', ' ', 'g')) AS norm
+              FROM e0
+            ),
+            flagged AS (
+              SELECT doc_id, pos, line,
+                (norm <> '' AND
+                 pos <> min(pos) OVER (PARTITION BY doc_id, norm)) AS is_dup
+              FROM keyed
+            )
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                  chr(10) ORDER BY pos), '') AS text_deduped,
+              count(*) AS n_lines,
+              coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0)
+                AS n_removed,
               coalesce(sum(CASE WHEN is_dup THEN length(line) ELSE 0 END), 0)
                 AS chars_removed
             FROM flagged GROUP BY doc_id

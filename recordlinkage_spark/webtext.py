@@ -348,6 +348,64 @@ def decontaminate(
     )
 
 
+def dedup_lines_within_doc(
+    text_col: Column,
+    split_re: str = r"\n",
+    join_sep: str = "\n",
+) -> dict[str, Column]:
+    """In-DOCUMENT repeated-line removal: keep the FIRST occurrence of
+    every line whose normalized form (``normalized_line``) repeats
+    inside the same doc, drop the later copies, preserve original order
+    — the extraction-hygiene pass (RefinedWeb §3.1.3 / SlimPajama style)
+    that strips nav menus, cookie banners and footers repeating WITHIN
+    one page. The corpus-level cousin is ``line_dedup`` (CCNet, drops
+    every copy of corpus-frequent lines); this pass needs no corpus
+    statistics, so it stays a PURE projection: zero shuffle, zero UDF,
+    fuses into any scan at any corpus size.
+
+    Lines whose normalized form is empty (blank separators, pure
+    digits/punctuation) are always kept, mirroring ``line_dedup``.
+
+    Cost: first-occurrence detection is ``array_position`` over the
+    per-doc key array — O(n_lines x first-occurrence-index) per doc,
+    trivially bounded for web pages (hundreds of lines); corpus-scale
+    repetition is ``line_dedup``'s job, not this one's.
+
+    Returns a dict of columns with ``line_dedup``'s output contract:
+    ``text_deduped`` (string), ``n_lines``, ``n_removed``,
+    ``chars_removed`` (long).
+    """
+    lines = F.split(text_col, split_re, -1)
+    keys = F.transform(lines, normalized_line)
+    pairs = F.zip_with(
+        lines, keys,
+        lambda l, k: F.struct(l.alias("line"), k.alias("key")),
+    )
+
+    def _is_first(s: Column, i: Column) -> Column:
+        return (s["key"] == F.lit("")) | (
+            F.array_position(keys, s["key"]) == i + F.lit(1)
+        )
+
+    kept = F.filter(pairs, _is_first)
+    removed = F.filter(pairs, lambda s, i: ~_is_first(s, i))
+    return {
+        "text_deduped": F.array_join(
+            F.transform(kept, lambda s: s["line"]), join_sep
+        ),
+        "n_lines": F.size(lines).cast("long"),
+        "n_removed": (F.size(lines) - F.size(kept)).cast("long"),
+        "chars_removed": F.coalesce(
+            F.aggregate(
+                removed,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s["line"]).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    }
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

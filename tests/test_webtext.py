@@ -426,3 +426,55 @@ class TestFilterUrls:
         got = {r["id"]: r["why"] for r in out.collect()}
         assert got[4] is None       # ftp kept when scheme check is off
         assert got[8] == "host"     # host verdict surfaces instead
+
+
+class TestDedupLinesWithinDoc:
+    """In-document repeated-line removal (RefinedWeb/SlimPajama-style
+    extraction hygiene; webtext.dedup_lines_within_doc)."""
+
+    def _out(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = webtext.dedup_lines_within_doc(F.col("text"))
+        return df.select("doc_id", *[v.alias(k) for k, v in d.items()])
+
+    def test_keep_first_drop_later_copies(self, spark):
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in self._out(spark, [
+                (1, "Accept cookies\nreal one\nAccept cookies\n\n"
+                    "real two\n\nACCEPT  COOKIES!"),
+            ]).collect()
+        }
+        # both the exact later copy AND the normalized-equal variant drop;
+        # blank separator lines are always kept
+        assert out[1]["text_deduped"] == (
+            "Accept cookies\nreal one\n\nreal two\n"
+        )
+        assert out[1]["n_lines"] == 7
+        assert out[1]["n_removed"] == 2
+        assert out[1]["chars_removed"] == len("Accept cookies") + len(
+            "ACCEPT  COOKIES!"
+        )
+
+    def test_empty_norm_lines_always_kept(self, spark):
+        out = self._out(spark, [(4, "123\n123\n!!\n!!")]).collect()[0]
+        assert out["text_deduped"] == "123\n123\n!!\n!!"
+        assert out["n_removed"] == 0
+
+    def test_single_and_empty_docs(self, spark):
+        rows = self._out(spark, [(2, "only line"), (3, "")]).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[2]["text_deduped"] == "only line"
+        assert by_id[3]["text_deduped"] == ""
+        assert by_id[3]["n_lines"] == 1  # split('') -> ['']
+
+    def test_pure_projection_no_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb\na")], "doc_id long, text string"
+        )
+        d = webtext.dedup_lines_within_doc(F.col("text"))
+        plan = (
+            df.select("doc_id", *[v.alias(k) for k, v in d.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
