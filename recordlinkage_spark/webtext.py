@@ -366,43 +366,63 @@ def dedup_lines_within_doc(
     Lines whose normalized form is empty (blank separators, pure
     digits/punctuation) are always kept, mirroring ``line_dedup``.
 
-    Cost: first-occurrence detection is ``array_position`` over the
-    per-doc key array — O(n_lines x first-occurrence-index) per doc,
-    trivially bounded for web pages (hundreds of lines); corpus-scale
-    repetition is ``line_dedup``'s job, not this one's.
+    Cost: first-occurrence detection is ONE ``aggregate`` fold that
+    carries the seen-key set forward — O(n_lines x distinct-keys) per
+    doc with ``pairs`` evaluated exactly once. It must NOT instead
+    probe the key array from inside a per-element lambda (e.g.
+    ``array_position(keys, ...)``): Spark re-evaluates captured outer
+    expressions on EVERY element — no hoisting out of HOF lambda
+    scopes — which turns the pass into O(n_lines^2) re-splits and
+    re-normalizations of the whole document (measured minutes-per-rep
+    vs seconds on the 2M-doc control corpus; plan-regression-tested in
+    tests/test_webtext.py). Corpus-scale repetition is ``line_dedup``'s
+    job, not this one's.
 
     Returns a dict of columns with ``line_dedup``'s output contract:
     ``text_deduped`` (string), ``n_lines``, ``n_removed``,
     ``chars_removed`` (long).
     """
     lines = F.split(text_col, split_re, -1)
-    keys = F.transform(lines, normalized_line)
     pairs = F.zip_with(
-        lines, keys,
+        lines, F.transform(lines, normalized_line),
         lambda l, k: F.struct(l.alias("line"), k.alias("key")),
     )
-
-    def _is_first(s: Column, i: Column) -> Column:
-        return (s["key"] == F.lit("")) | (
-            F.array_position(keys, s["key"]) == i + F.lit(1)
-        )
-
-    kept = F.filter(pairs, _is_first)
-    removed = F.filter(pairs, lambda s, i: ~_is_first(s, i))
-    return {
-        "text_deduped": F.array_join(
-            F.transform(kept, lambda s: s["line"]), join_sep
+    empty = F.array().cast("array<string>")
+    zero = F.lit(0).cast("long")
+    folded = F.aggregate(
+        pairs,
+        F.struct(
+            empty.alias("kept"),
+            empty.alias("seen"),
+            zero.alias("n_removed"),
+            zero.alias("chars_removed"),
         ),
-        "n_lines": F.size(lines).cast("long"),
-        "n_removed": (F.size(lines) - F.size(kept)).cast("long"),
-        "chars_removed": F.coalesce(
-            F.aggregate(
-                removed,
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + F.length(s["line"]).cast("long"),
+        lambda acc, s: F.when(
+            (s["key"] == F.lit(""))
+            | ~F.array_contains(acc["seen"], s["key"]),
+            F.struct(
+                F.array_append(acc["kept"], s["line"]).alias("kept"),
+                F.when(s["key"] == F.lit(""), acc["seen"])
+                .otherwise(F.array_append(acc["seen"], s["key"]))
+                .alias("seen"),
+                acc["n_removed"].alias("n_removed"),
+                acc["chars_removed"].alias("chars_removed"),
             ),
-            F.lit(0).cast("long"),
+        ).otherwise(
+            F.struct(
+                acc["kept"].alias("kept"),
+                acc["seen"].alias("seen"),
+                (acc["n_removed"] + F.lit(1)).alias("n_removed"),
+                (acc["chars_removed"] + F.length(s["line"]).cast("long"))
+                .alias("chars_removed"),
+            )
         ),
+    )
+    return {
+        "text_deduped": F.array_join(folded["kept"], join_sep),
+        "n_lines": F.size(lines).cast("long"),
+        "n_removed": folded["n_removed"],
+        "chars_removed": F.coalesce(folded["chars_removed"], zero),
     }
 
 

@@ -178,7 +178,33 @@ def main() -> None:
         return {"n_packs": int(row["packs"]),
                 "spanning_docs": int(row["spanning"])}
 
+    def run_dedup_lines_in_doc():
+        # corpus text has no newlines; chunk to 8-token pseudo-lines
+        # first (the driver query's shape), then the pure-projection
+        # in-doc dedup — measures chunk + dedup + the summary aggregate.
+        # Chunk with ONE regex pass (every 8th token separator -> \n),
+        # not the driver query's transform/slice expression: that form
+        # re-evaluates the captured token array per transform element
+        # (fine at oracle scale, a multiplicative expression blowup when
+        # inlined under the dedup fold at 2M docs). Identical output on
+        # this corpus's single-space-separated text.
+        pseudo = F.regexp_replace(
+            F.trim(F.col("text")), r"((?:\S+\s+){7}\S+)\s+", "$1\n"
+        )
+        # plant one within-doc repeat per doc (the driver query's shape:
+        # first pseudo-line appended twice) so the removal branch of the
+        # fold does real work on every row
+        first = F.element_at(F.split(pseudo, r"\n", -1), 1)
+        planted = F.concat_ws("\n", pseudo, first, first)
+        d = webtext.dedup_lines_within_doc(planted)
+        row = docs.select(
+            d["n_removed"].alias("r"), d["chars_removed"].alias("c")
+        ).agg(F.sum("r").alias("r"), F.sum("c").alias("c")).collect()[0]
+        return {"lines_removed": int(row["r"]),
+                "chars_removed": int(row["c"])}
+
     run("filter_urls", run_filter_urls)
+    run("dedup_lines_in_doc", run_dedup_lines_in_doc)
     run("corpus_stats", run_corpus_stats)
     run("unigram_logprob", run_unigram_logprob)
     run("select_by_budget", run_select_by_budget)

@@ -478,3 +478,25 @@ class TestDedupLinesWithinDoc:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+    def test_no_per_element_rescan_in_plan(self, spark):
+        """Regression: first-occurrence detection must be the single
+        aggregate() fold, never an array_position/filter probe that
+        captures the key array inside a per-element lambda — Spark
+        re-evaluates captured outer expressions per element (no
+        hoisting out of HOF lambda scopes), making the pass
+        O(n_lines^2) full-doc re-splits (minutes vs seconds per rep on
+        the 2M-doc control corpus)."""
+        df = spark.createDataFrame(
+            [(1, "a\nb\na")], "doc_id long, text string"
+        )
+        d = webtext.dedup_lines_within_doc(F.col("text"))
+        plan = (
+            df.select("doc_id", *[v.alias(k) for k, v in d.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "array_position" not in plan
+        # the doc is split at most once per output column, not once per
+        # line element (4 output columns, each plan-printed expression
+        # may inline the split into zip_with's two arguments)
+        assert plan.count("split(") <= 3 * 4
