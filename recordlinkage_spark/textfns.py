@@ -245,27 +245,54 @@ def tokens(col: Column) -> Column:
     )
 
 
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` exactly once per row and build ``f(bound)`` over it.
+
+    Spark evaluates expressions captured from an enclosing scope inside a
+    higher-order-function lambda on EVERY element — nothing is hoisted out
+    of lambda scopes — so e.g. ``transform(sequence(...), lambda i:
+    slice(toks, i + 1, n))`` re-tokenizes the whole document once per
+    n-gram when ``toks`` is a computed expression (an O(n^2) blowup
+    measured as minutes-vs-seconds per pass on the 2M-doc control
+    corpus). Wrapping the computation as the HOF *argument* — a
+    single-element array — turns it into a lambda variable: evaluated
+    once per row, O(1) to reference per element. Nested lambdas may
+    reference the bound variable freely."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def word_shingles(tok_col: Column, n: int) -> Column:
     """Distinct word n-grams as array<string>; a doc shorter than n tokens
     contributes its whole token sequence as one shingle (so short docs
-    still index). Pure JVM: transform over sequence."""
-    joined = F.array_join(tok_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
-    )
-    return F.when(F.size(tok_col) <= n, F.array_distinct(F.array(joined))).otherwise(
-        F.array_distinct(grams)
-    )
+    still index). Pure JVM: transform over sequence; the token array is
+    bound once (``bind_once``) so computed ``tok_col`` expressions are
+    not re-evaluated per shingle."""
+
+    def _grams(toks: Column) -> Column:
+        joined = F.array_join(toks, " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return F.when(
+            F.size(toks) <= n, F.array_distinct(F.array(joined))
+        ).otherwise(F.array_distinct(grams))
+
+    return bind_once(tok_col, _grams)
 
 
 def char_shingles(col: Column, n: int) -> Column:
     """Distinct char n-grams (for short fields like urls)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(col) - n, F.lit(0))),
-        lambda i: F.substring(col, i + 1, n),
-    )
-    return F.array_distinct(grams)
+
+    def _grams(s: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(s) - n, F.lit(0))),
+                lambda i: F.substring(s, i + 1, n),
+            )
+        )
+
+    return bind_once(col, _grams)
 
 
 def shingle_hashes(shingle_col: Column) -> Column:

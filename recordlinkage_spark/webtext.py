@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from .textfns import bind_once
+
 # Query parameters that never change page identity (analytics / click
 # tracking); stripped before canonical comparison.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref|igshid)(=|$)"
@@ -144,10 +146,16 @@ def gopher_quality_features(
                                    sum_len(lines))
 
     def _ngrams(n: int) -> Column:
-        return F.when(n_words >= n, F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )).otherwise(F.array().cast("array<string>"))
+        # bind the token array once: capturing `words` (a computed
+        # split+filter) inside the per-element lambda would re-tokenize
+        # the whole doc per n-gram (see textfns.bind_once)
+        return bind_once(words, lambda ws: F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")))
 
     def _top_ngram_char_frac(n: int) -> Column:
         # chars covered by the most frequent n-gram: its multiplicity times
@@ -264,13 +272,15 @@ def _token_ngrams(text_col: Column, n: int) -> Column:
     array<string>, entirely in JVM expressions (split/transform/slice).
     Docs with fewer than n tokens yield an empty array."""
     toks = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != "")
-    grams = F.when(
-        F.size(toks) >= n,
+    # bind_once: referencing the computed `toks` from inside the
+    # per-element lambda would re-tokenize the doc once per n-gram
+    grams = bind_once(toks, lambda ts: F.when(
+        F.size(ts) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<string>")))
     return F.array_distinct(grams)
 
 
@@ -495,10 +505,10 @@ def host_suffixes(url_col: Column) -> Column:
     (an entry ``example.com`` blocks every subdomain; cf. the UT1 lists
     RefinedWeb §3.1 filters with). Pure JVM array expression."""
     parts = F.split(url_host(url_col), r"\.")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(parts)),
-        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
-    )
+    return bind_once(parts, lambda ps: F.transform(
+        F.sequence(F.lit(1), F.size(ps)),
+        lambda i: F.array_join(F.slice(ps, i, F.size(ps)), "."),
+    ))
 
 
 def url_block_reason(
