@@ -143,9 +143,11 @@ def make_text_band_udf(
 
     tokenize (str.split) -> siphash per token (pd.util.hash_array) ->
     rotate-xor n-gram combine -> MinHash -> band hash, all vectorized numpy
-    in ONE Arrow pass. This exists because evaluating the same shingling as
-    JVM higher-order expressions (transform/aggregate lambdas are
-    interpreted, not codegen'd) measured ~35x slower. Null text -> null."""
+    in ONE Arrow pass. JVM higher-order expressions (transform/aggregate
+    lambdas) are interpreted, not codegen'd: post-bind_once the JVM
+    shingle+hash stage alone measures 2.0x the Arrow pass (see the textfns
+    module docstring), and the 128-permutation banding would add 128
+    interpreted lambda evaluations per shingle on top. Null text -> null."""
     if bands * rows != num_perm:
         raise ValueError("num_perm must equal bands * rows")
     a, b = _perm_params(num_perm, seed)

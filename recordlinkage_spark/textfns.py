@@ -8,11 +8,16 @@ Two layers:
 2. Vectorized numpy kernels (``*_np``) consumed by the pandas UDFs of the
    dedup passes (MinHash / SimHash / winnowing). Spark's higher-order array
    expressions (``transform``/``aggregate`` lambdas) are *interpreted*, not
-   codegen'd — hashing 10M tokens through ``transform(xxhash64)`` measured
-   ~60s on 32 cores, while the same work in one Arrow pass (pandas
-   ``hash_array`` siphash + numpy combines) is <2s. So every hot pass
-   hashes text Python-side, in one fused UDF per pass, and the JVM only
-   ever sees the (tiny) signature outputs.
+   codegen'd. Historical note: the original ~35x JVM-vs-Arrow shingling gap
+   that motivated the fused UDFs was mostly the lambda-capture O(tokens^2)
+   pathology since fixed by :func:`bind_once`; re-measured post-fix
+   (200k docs x 100-400 tokens, identical 47.5M distinct shingles), the
+   pure-JVM tokenize+shingle+xxhash64 stage is 2.0x the Arrow pass —
+   interpreted-lambda overhead only. The fused Arrow passes remain the hot
+   path because the FULL signature work (128 MinHash permutations, banding,
+   winnowing) is one numpy batch there, while JVM expressions would
+   interpret 128 lambda evaluations per shingle; the JVM layer sees only
+   the (tiny) signature outputs.
 """
 
 from __future__ import annotations
