@@ -524,13 +524,19 @@ def q_canonical_url(spark, sf):
 def _chunk_lines(text_col, k: int = 8):
     """documents.text has no newlines; chunk into k-token pseudo-lines
     (identical chunking in the DuckDB oracles)."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    lines_arr = F.transform(
-        F.sequence(F.lit(0), nlines - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-    )
-    return F.array_join(lines_arr, "\n")
+    from recordlinkage_spark import textfns
+    # bind the token array once — capturing the computed split inside the
+    # per-chunk lambda would re-tokenize the doc per pseudo-line
+    # (textfns.bind_once)
+    def _chunks(toks):
+        nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        )
+        return F.array_join(lines_arr, "\n")
+
+    return textfns.bind_once(F.split(F.trim(text_col), r"\s+"), _chunks)
 
 
 def q_line_dedup(spark, sf):
