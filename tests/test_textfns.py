@@ -64,3 +64,27 @@ def test_shingle_hashes(spark):
     sh = textfns.shingle_hashes(textfns.word_shingles(textfns.tokens(F.col("text")), 2))
     got = _one(spark, "a b c", sh)
     assert len(got) == 2 and all(isinstance(x, int) for x in got)
+
+
+def test_bind_once_semantics(spark):
+    """bind_once(col, f) must equal f(col) row-for-row — same expression
+    tree modulo the lambda binding — including null and empty inputs.
+    (The binding exists purely to stop per-element re-evaluation of
+    computed captured expressions; see textfns.bind_once.)"""
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x",), ("",), (None,)], "text string"
+    )
+    toks = textfns.tokens(F.col("text"))
+
+    def grams(ts):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - 2, F.lit(0))),
+            lambda i: F.array_join(F.slice(ts, i + 1, 2), " "),
+        )
+
+    got = df.select(
+        textfns.bind_once(toks, grams).alias("bound"),
+        grams(toks).alias("captured"),
+    ).collect()
+    for row in got:
+        assert row["bound"] == row["captured"]
