@@ -583,16 +583,19 @@ def q_gopher_quality(spark, sf):
 
     docs = _t(spark, sf, "documents")
     chunked = docs.select("doc_id", _chunk_lines(F.col("text")).alias("text"))
-    feats = webtext.gopher_quality_features(F.col("text"))
-    return chunked.select(
+    # struct path: ONE tokenization per row for all features (the struct
+    # column is materialized in its own Project; field reads are O(1))
+    g = webtext.gopher_quality_struct(F.col("text"))
+    feats = chunked.withColumn("_g", g)
+    return feats.select(
         "doc_id",
-        feats["n_lines"].alias("n_lines"),
-        _r6(feats["dup_line_frac"]).alias("dup_line_frac"),
-        _r6(feats["dup_line_char_frac"]).alias("dup_line_char_frac"),
-        _r6(feats["top_2gram_char_frac"]).alias("top_2gram_char_frac"),
-        _r6(feats["top_3gram_char_frac"]).alias("top_3gram_char_frac"),
-        _r6(feats["mean_word_len"]).alias("mean_word_len"),
-        _r6(feats["alpha_word_frac"]).alias("alpha_word_frac"),
+        F.col("_g")["n_lines"].alias("n_lines"),
+        _r6(F.col("_g")["dup_line_frac"]).alias("dup_line_frac"),
+        _r6(F.col("_g")["dup_line_char_frac"]).alias("dup_line_char_frac"),
+        _r6(F.col("_g")["top_2gram_char_frac"]).alias("top_2gram_char_frac"),
+        _r6(F.col("_g")["top_3gram_char_frac"]).alias("top_3gram_char_frac"),
+        _r6(F.col("_g")["mean_word_len"]).alias("mean_word_len"),
+        _r6(F.col("_g")["alpha_word_frac"]).alias("alpha_word_frac"),
     )
 
 

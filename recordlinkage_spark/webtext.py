@@ -103,30 +103,21 @@ def normalized_line(line_col: Column) -> Column:
     return F.trim(s)
 
 
-def gopher_quality_features(
-    text_col: Column, split_re: str = r"\n"
+def _gopher_feature_exprs(
+    lines: Column, words: Column, text_col: Column
 ) -> dict[str, Column]:
-    """Gopher repetition/quality signals (Rae et al. 2021, appendix A1
-    subset) as SHUFFLE-FREE column expressions — every feature is computed
-    per row from the doc's own line/token arrays, so at 100 TB the whole
-    filter runs inline with the Iceberg scan (one projection, no exchange,
-    no Python).
+    """The Gopher feature expressions over ALREADY-BOUND line/token array
+    columns (lambda variables or attributes — O(1) to reference; see
+    textfns.bind_once). Callers: :func:`gopher_quality_features` (dict
+    API, one binding per feature) and :func:`gopher_quality_struct`
+    (one binding for all nine).
 
     The only non-obvious trick: ``top_{2,3}gram_char_frac`` needs the count
     of the doc's most frequent word n-gram, which is a sort + one linear
     fold instead of a per-doc groupBy — ``array_sort`` the n-gram array,
     then ``F.aggregate`` a (prev, run, best) struct to find the longest
     equal-run. O(n log n) JVM work per doc, zero shuffles.
-
-    Returns a dict of named Columns:
-      n_lines, dup_line_frac, dup_line_char_frac,
-      top_2gram_char_frac, top_3gram_char_frac,
-      mean_word_len, symbol_word_ratio, alpha_word_frac,
-      ellipsis_line_frac.
-    Empty/degenerate docs get 0.0 for every ratio (no null/NaN leaks).
     """
-    lines = F.split(text_col, split_re, -1)
-    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != "")
     n_lines = F.size(lines)
     n_words = F.size(words)
     n_chars = F.length(text_col)
@@ -146,16 +137,15 @@ def gopher_quality_features(
                                    sum_len(lines))
 
     def _ngrams(n: int) -> Column:
-        # bind the token array once: capturing `words` (a computed
-        # split+filter) inside the per-element lambda would re-tokenize
-        # the whole doc per n-gram (see textfns.bind_once)
-        return bind_once(words, lambda ws: F.when(
-            F.size(ws) >= n,
+        # `words` is already bound by the caller, so referencing it from
+        # the per-element lambda is O(1) — no re-tokenization
+        return F.when(
+            F.size(words) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(ws) - n),
-                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
             ),
-        ).otherwise(F.array().cast("array<string>")))
+        ).otherwise(F.array().cast("array<string>"))
 
     def _top_ngram_char_frac(n: int) -> Column:
         # chars covered by the most frequent n-gram: its multiplicity times
@@ -222,6 +212,90 @@ def gopher_quality_features(
         "alpha_word_frac": alpha_word_frac,
         "ellipsis_line_frac": ellipsis_line_frac,
     }
+
+
+GOPHER_FEATURES = (
+    "n_lines", "dup_line_frac", "dup_line_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "mean_word_len",
+    "symbol_word_ratio", "alpha_word_frac", "ellipsis_line_frac",
+)
+
+
+def _gopher_arrays(text_col: Column, split_re: str) -> Column:
+    """struct(ls, ws, t): the line array, the non-empty token array, and
+    the text itself — everything the feature expressions read, packaged so
+    one ``bind_once`` evaluates the splits exactly once per row."""
+    return F.struct(
+        F.split(text_col, split_re, -1).alias("ls"),
+        F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != "").alias(
+            "ws"
+        ),
+        text_col.alias("t"),
+    )
+
+
+def gopher_quality_features(
+    text_col: Column, split_re: str = r"\n"
+) -> dict[str, Column]:
+    """Gopher repetition/quality signals (Rae et al. 2021, appendix A1
+    subset) as SHUFFLE-FREE column expressions — every feature is computed
+    per row from the doc's own line/token arrays, so at 100 TB the whole
+    filter runs inline with the Iceberg scan (one projection, no exchange,
+    no Python).
+
+    Returns a dict of named Columns (keys = :data:`GOPHER_FEATURES`).
+    Each dict entry tokenizes the doc ONCE (its own ``bind_once``); when
+    selecting several features at once, prefer
+    :func:`with_gopher_features`, which tokenizes once for ALL nine
+    (HOF-bearing expressions are excluded from Catalyst's common-
+    subexpression elimination, so independent columns cannot share the
+    splits). Empty/degenerate docs get 0.0 for every ratio (no null/NaN
+    leaks)."""
+    arrays = _gopher_arrays(text_col, split_re)
+
+    def one(key: str) -> Column:
+        return bind_once(
+            arrays,
+            lambda s: _gopher_feature_exprs(s["ls"], s["ws"], s["t"])[key],
+        )
+
+    return {k: one(k) for k in GOPHER_FEATURES}
+
+
+def gopher_quality_struct(text_col: Column, split_re: str = r"\n") -> Column:
+    """All nine Gopher features as ONE struct column computed from a single
+    tokenization per row. Materialize it with ``withColumn`` and read the
+    fields as attribute extractions (:func:`with_gopher_features`) —
+    Catalyst's CollapseProject keeps a multi-referenced non-cheap alias in
+    its own Project, so the struct is evaluated exactly once
+    (plan-asserted in tests/test_webtext.py)."""
+    arrays = _gopher_arrays(text_col, split_re)
+    return bind_once(
+        arrays,
+        lambda s: F.struct(
+            *[
+                c.alias(k)
+                for k, c in _gopher_feature_exprs(
+                    s["ls"], s["ws"], s["t"]
+                ).items()
+            ]
+        ),
+    )
+
+
+def with_gopher_features(
+    df: DataFrame, text_col: str, split_re: str = r"\n", prefix: str = ""
+) -> DataFrame:
+    """df + the nine Gopher feature columns, ONE tokenization per row: the
+    struct is materialized as a column first, then fields are extracted as
+    attribute reads in a second projection (which CollapseProject provably
+    leaves alone — see :func:`gopher_quality_struct`)."""
+    g = "_gopher__"
+    out = df.withColumn(g, gopher_quality_struct(F.col(text_col), split_re))
+    return out.select(
+        *[c for c in df.columns],
+        *[F.col(g)[k].alias(prefix + k) for k in GOPHER_FEATURES],
+    )
 
 
 # PII regexes kept deliberately inside the intersection of Java-regex

@@ -228,6 +228,47 @@ class TestGopherQuality:
         )
         assert "Exchange" not in plan
 
+    def test_struct_path_matches_dict_api(self, spark):
+        """with_gopher_features (one tokenization for all nine features)
+        must agree with the per-feature dict API value-for-value."""
+        from recordlinkage_spark.webtext import (
+            GOPHER_FEATURES,
+            gopher_quality_features,
+            with_gopher_features,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id string, text string")
+        feats = gopher_quality_features(F.col("text"))
+        a = {
+            r["doc_id"]: r.asDict()
+            for r in df.select(
+                "doc_id", *[c.alias(k) for k, c in feats.items()]
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r.asDict()
+            for r in with_gopher_features(df, "text").drop("text").collect()
+        }
+        for doc_id, text in self.DOCS:
+            for k in GOPHER_FEATURES:
+                assert abs(a[doc_id][k] - b[doc_id][k]) < 1e-12, (doc_id, k)
+
+    def test_struct_path_tokenizes_once(self, spark):
+        """The struct path must evaluate the split/filter tokenization
+        exactly once per row: CollapseProject may not inline the struct
+        alias into the nine field extractions (HOF expressions are
+        excluded from common-subexpression elimination, so an inlined
+        plan would re-tokenize per feature)."""
+        from recordlinkage_spark.webtext import with_gopher_features
+
+        df = spark.createDataFrame(self.DOCS, "doc_id string, text string")
+        plan = (
+            with_gopher_features(df, "text")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("split(trim(") == 1
+        assert "Exchange" not in plan
+
 
 class TestDecontaminate:
     """GPT-3 13-gram benchmark decontamination (Brown et al. 2020 app. C)."""
