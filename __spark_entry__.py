@@ -417,6 +417,38 @@ def q_minhash_lsh_dedup(spark, sf):
     return out.select("id_1", "id_2", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+def q_lsh_plan_curve(spark, sf):
+    """LSH band planner + its S-curve, as data.
+
+    ``plan_lsh(0.8, num_perm=128, target_recall=0.99)`` picks (bands=32,
+    rows=4) — the steepest feasible factorization, i.e. the minimum
+    false-positive area whose collision probability at j=0.8 still
+    reaches 0.99 (it is ~1-4.7e-8). The query emits the chosen plan and
+    p(s) = 1-(1-s^rows)^bands over s = 0.00..1.00; the oracle recomputes
+    the curve from the SAME (32, 4) — pinned there, so planner drift
+    breaks the hash — while tests/test_lsh_plan.py proves (32, 4) optimal
+    by exhaustive enumeration of the 128-perm factorizations."""
+    from recordlinkage_spark.minhash import plan_lsh
+
+    plan = plan_lsh(0.8, num_perm=128, target_recall=0.99)
+    b, r = plan["bands"], plan["rows"]
+    return (
+        spark.range(101)
+        .select(
+            F.col("id").cast("int").alias("s_idx"),
+            F.lit(b).cast("int").alias("bands"),
+            F.lit(r).cast("int").alias("rows"),
+            _r6(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("id") / F.lit(100.0), F.lit(float(r))),
+                    F.lit(float(b)),
+                )
+            ).alias("p_candidate"),
+        )
+    )
+
+
 def q_simhash_candidates(spark, sf):
     from recordlinkage_spark.simhash import SimHash
 
@@ -1271,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_stats": q_cluster_size_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "lsh_plan_curve": q_lsh_plan_curve,
         "simhash_candidates": q_simhash_candidates,
         "substring_span_pairs": q_substring_span_pairs,
         "extract_text": q_extract_text,
@@ -1658,6 +1691,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,
+        # (bands, rows) pinned to plan_lsh(0.8, 128, 0.99)'s choice; the
+        # planner's optimality itself is pytest-proven by enumeration.
+        "lsh_plan_curve": """
+            SELECT CAST(i AS INTEGER) AS s_idx,
+                   32 AS bands,
+                   4 AS rows,
+                   ROUND(1.0 - POWER(1.0 - POWER(i / 100.0, 4.0), 32.0), 6)
+                       AS p_candidate
+            FROM range(0, 101) t(i)
+        """,
         # ground truth for render->extract: whitespace-normalized text.
         # Not a mirror of the Spark chain — any escape/strip defect fails.
         "extract_text": r"""

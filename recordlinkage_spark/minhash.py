@@ -415,6 +415,76 @@ def exact_jaccard(
     )
 
 
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(some band collides | true Jaccard = s) = 1 - (1 - s^rows)^bands —
+    the standard LSH S-curve (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* §3.4.2, public result). Monotone in s; steeper with larger
+    ``rows``, shifted left with more ``bands``."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def plan_lsh(
+    threshold: float,
+    num_perm: int = 128,
+    target_recall: float = 0.99,
+    grid: int = 1000,
+) -> dict:
+    """Choose (bands, rows) for a Jaccard ``threshold`` and recall target.
+
+    Enumerates every exact factorization ``bands * rows == num_perm``
+    (the signature UDFs require exact), keeps the plans whose S-curve
+    value AT the threshold meets ``target_recall`` — a pair at exactly
+    s = threshold is the worst true pair, so p(threshold) lower-bounds
+    recall over all pairs with s >= threshold — and among those picks the
+    one minimizing the expected false-positive mass
+    ``fp_area = ∫_0^threshold p(s) ds`` (midpoint rule on a fixed
+    ``grid``: deterministic, no RNG). More bands = higher recall but a
+    fatter FP tail feeding the verify stage; this makes the tradeoff a
+    computed decision instead of folklore defaults.
+
+    Returns a dict with the chosen ``bands``/``rows``, the achieved
+    ``recall_at_threshold``, ``fp_area``, the curve midpoint
+    ``s50 ≈ (1/bands)^(1/rows)`` (where p = 1 - (1-1/b)^b ≈ 0.63), and
+    ``meets_target``. When NO factorization reaches the target the
+    max-recall plan is returned with ``meets_target=False`` — raise
+    ``num_perm`` (more bands at the same rows) and re-plan.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 1:
+        raise ValueError("num_perm must be >= 1")
+    plans = []
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        recall = lsh_candidate_probability(threshold, bands, rows)
+        # midpoint rule over [0, threshold]
+        step = threshold / grid
+        ss = (np.arange(grid) + 0.5) * step
+        fp_area = float(np.sum(1.0 - (1.0 - ss**rows) ** bands) * step)
+        plans.append(
+            {
+                "bands": bands,
+                "rows": rows,
+                "recall_at_threshold": float(recall),
+                "fp_area": fp_area,
+                "s50": (1.0 / bands) ** (1.0 / rows) if bands > 1 else 0.0,
+            }
+        )
+    feasible = [p for p in plans if p["recall_at_threshold"] >= target_recall]
+    if feasible:
+        best = min(feasible, key=lambda p: (p["fp_area"], p["bands"]))
+        best = dict(best, meets_target=True)
+    else:
+        best = max(plans, key=lambda p: p["recall_at_threshold"])
+        best = dict(best, meets_target=False)
+    best["num_perm"] = num_perm
+    best["threshold"] = threshold
+    best["target_recall"] = target_recall
+    return best
+
+
 class MinHashLSH:
     """MinHash/LSH candidate-pair index with exact-Jaccard verification."""
 
@@ -436,6 +506,32 @@ class MinHashLSH:
         self.max_bucket_size = max_bucket_size
         self.seed = seed
         self.metrics: dict = {}
+
+    @classmethod
+    def from_threshold(
+        cls,
+        threshold: float,
+        num_perm: int = 128,
+        target_recall: float = 0.99,
+        strict: bool = True,
+        **kwargs,
+    ) -> "MinHashLSH":
+        """Construct with (bands, rows) chosen by :func:`plan_lsh` for the
+        given Jaccard ``threshold`` and ``target_recall``. With ``strict``
+        (default) an unreachable target raises with the best achievable
+        recall in the message instead of silently under-recalling; pass
+        ``strict=False`` to take the max-recall plan anyway."""
+        plan = plan_lsh(threshold, num_perm=num_perm, target_recall=target_recall)
+        if strict and not plan["meets_target"]:
+            raise ValueError(
+                f"no bands*rows == {num_perm} factorization reaches recall "
+                f"{target_recall} at jaccard {threshold}; best is "
+                f"{plan['recall_at_threshold']:.4f} with (bands={plan['bands']}, "
+                f"rows={plan['rows']}) — raise num_perm or pass strict=False"
+            )
+        idx = cls(num_perm=num_perm, bands=plan["bands"], rows=plan["rows"], **kwargs)
+        idx.plan = plan
+        return idx
 
     # ------------------------------------------------------------------
     def with_shingles(self, df: DataFrame, text_col: str, out: str = "_sh") -> DataFrame:
