@@ -61,6 +61,41 @@ class EngineConfig:
 
     extra_spark_conf: dict = field(default_factory=dict)
 
+    @classmethod
+    def for_threshold(
+        cls,
+        jaccard_threshold: float,
+        num_perm: int = 128,
+        target_recall: float = 0.99,
+        strict: bool = True,
+        **overrides,
+    ) -> "EngineConfig":
+        """Build a config whose (lsh_bands, lsh_rows) come from
+        :func:`recordlinkage_spark.minhash.plan_lsh` — the factorization of
+        ``num_perm`` meeting ``target_recall`` at ``jaccard_threshold`` with
+        the smallest false-positive area — instead of hand-picked constants.
+        With ``strict`` an unreachable target raises (raise ``num_perm``);
+        ``overrides`` pass through to the dataclass (e.g. ``shingle_size``).
+        """
+        from recordlinkage_spark.minhash import plan_lsh
+
+        plan = plan_lsh(
+            jaccard_threshold, num_perm=num_perm, target_recall=target_recall
+        )
+        if strict and not plan["meets_target"]:
+            raise ValueError(
+                f"no bands*rows == {num_perm} factorization reaches recall "
+                f"{target_recall} at jaccard {jaccard_threshold}; best is "
+                f"{plan['recall_at_threshold']:.4f} — raise num_perm or pass "
+                "strict=False"
+            )
+        return cls(
+            num_perm=num_perm,
+            lsh_bands=plan["bands"],
+            lsh_rows=plan["rows"],
+            **overrides,
+        )
+
 
 def get_spark(
     app_name: str = "recordlinkage-spark",

@@ -123,3 +123,16 @@ def test_recall_is_lower_bound_above_threshold():
     floor = plan["recall_at_threshold"]
     for i in range(71, 101):
         assert lsh_candidate_probability(i / 100.0, b, r) >= floor - 1e-12
+
+
+def test_engine_config_for_threshold():
+    from recordlinkage_spark.config import EngineConfig
+
+    cfg = EngineConfig.for_threshold(0.8, num_perm=128, shingle_size=5)
+    assert (cfg.lsh_bands, cfg.lsh_rows) == (32, 4)
+    assert cfg.num_perm == 128
+    assert cfg.shingle_size == 5
+    with pytest.raises(ValueError, match="raise num_perm"):
+        EngineConfig.for_threshold(0.5, num_perm=4)
+    relaxed = EngineConfig.for_threshold(0.5, num_perm=4, strict=False)
+    assert relaxed.lsh_bands * relaxed.lsh_rows == 4
