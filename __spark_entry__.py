@@ -467,6 +467,29 @@ def q_substring_span_pairs(spark, sf):
     )
 
 
+def q_substring_span_removal(spark, sf):
+    """ExactSubstr span REMOVAL (Lee et al. 2022): docs whose text lost a
+    duplicated long span, with how much was cut. rows-only by design —
+    winnowing fingerprint selection is not SQL-expressible (same reason as
+    substring_span_pairs); output is deterministic (hash-keyed keep-one,
+    no seed) and golden-pinned at sf0.01 (tests/test_goldens.py), with
+    semantics pytest-gated in tests/test_span_removal.py."""
+    from recordlinkage_spark.suffix import remove_duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    out = remove_duplicate_spans(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        span_tokens=16, winnow_window=9,
+    )
+    return (
+        out.filter(F.col("cut_spans") > 0)
+        .select(
+            "doc_id", "cut_spans", "cut_tokens",
+            F.length("text").alias("new_len"),
+        )
+    )
+
+
 def q_extract_text(spark, sf):
     """North-rule per-row invariant surfaced at the driver contract: render
     each document into a Common-Crawl-shaped html binary (entity-escaped
@@ -1306,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_plan_curve": q_lsh_plan_curve,
         "simhash_candidates": q_simhash_candidates,
         "substring_span_pairs": q_substring_span_pairs,
+        "substring_span_removal": q_substring_span_removal,
         "extract_text": q_extract_text,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,

@@ -36,30 +36,30 @@ from recordlinkage_spark import textfns
 _P = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
 
-def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
-                           span: int, window: int):
-    """Winnowed fingerprints per doc over a flat segmented token-hash array.
-
-    Returns ``(vals, counts)``: flat uint64 fingerprints (distinct + sorted
-    within each doc) and per-doc counts (0 for docs shorter than ``span``).
+def _doc_window_hashes(flat: np.ndarray, lengths: np.ndarray, span: int):
+    """Per-doc ``span``-token rolling window hashes over a flat segmented
+    token-hash array, computed in ONE vectorized pass over the whole batch.
 
     Rolling hash: H_i = P^(i+span-1) * (T_{i+span} - T_i) with
     T_k = sum_{j<k} h_j * P^(-j), all uint64-wraparound (P odd => P
     invertible mod 2^64). H_i depends only on the window's CONTENT —
     global-position exponents cancel — so computing it over the whole
     flat batch and masking windows that cross doc boundaries is exact.
+
+    Returns ``(flat_roll, m, roll_starts, roll_ends, roll_doc)``:
+    concatenated per-doc window hashes, windows per doc
+    (``max(len - span + 1, 0)``), each doc's segment bounds in
+    ``flat_roll``, and the doc id of each window. ``flat_roll`` is None
+    when no doc has a full window.
     """
     np.seterr(over="ignore")
     ndocs = len(lengths)
     total = len(flat)
-    # windows per doc / selected fingerprints per doc
     m = np.maximum(lengths - span + 1, 0)
-    sel_counts = np.where(m > window, m - window + 1, (m > 0).astype(np.int64))
     M = total - span + 1
     if total == 0 or M <= 0 or not m.any():
-        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64)
+        return None, m, None, None, None
 
-    # --- global rolling hash -------------------------------------------
     p_inv = np.uint64(pow(int(_P), -1, 2**64))
     invp = np.ones(total, dtype=np.uint64)
     invp[1:] = p_inv
@@ -78,9 +78,30 @@ def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
     doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
     flat_roll = roll[doc_of[:M] == doc_of[span - 1:]]    # segmented by doc, counts m
 
-    # --- winnowing: per-doc sliding min of width `window` ----------------
     roll_ends = np.cumsum(m)
     roll_starts = roll_ends - m
+    roll_doc = np.repeat(np.arange(ndocs, dtype=np.int64), m)
+    return flat_roll, m, roll_starts, roll_ends, roll_doc
+
+
+def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
+                           span: int, window: int):
+    """Winnowed fingerprints per doc over a flat segmented token-hash array.
+
+    Returns ``(vals, counts)``: flat uint64 fingerprints (distinct + sorted
+    within each doc) and per-doc counts (0 for docs shorter than ``span``).
+    Window hashes come from :func:`_doc_window_hashes`.
+    """
+    np.seterr(over="ignore")
+    ndocs = len(lengths)
+    flat_roll, m, roll_starts, roll_ends, roll_doc = _doc_window_hashes(
+        flat, lengths, span
+    )
+    if flat_roll is None:
+        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64)
+    sel_counts = np.where(m > window, m - window + 1, (m > 0).astype(np.int64))
+
+    # --- winnowing: per-doc sliding min of width `window` ----------------
     out = np.empty(int(sel_counts.sum()), dtype=np.uint64)
     out_ends = np.cumsum(sel_counts)
     out_starts = out_ends - sel_counts
@@ -89,7 +110,6 @@ def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
         sw_min = np.lib.stride_tricks.sliding_window_view(
             flat_roll, window
         ).min(axis=1)
-        roll_doc = np.repeat(np.arange(ndocs, dtype=np.int64), m)
         pos = np.nonzero(roll_doc[:W] == roll_doc[window - 1:])[0]
         d = roll_doc[pos]
         out[out_starts[d] + (pos - roll_starts[d])] = sw_min[pos]
@@ -98,6 +118,50 @@ def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
         out[out_starts[d]] = flat_roll[roll_starts[d]:roll_ends[d]].min()
 
     return textfns.distinct_per_doc_np(out, sel_counts)
+
+
+def winnow_fingerprint_positions_np(flat: np.ndarray, lengths: np.ndarray,
+                                    span: int, window: int):
+    """Winnowed fingerprints WITH their window positions — the input the
+    span-REMOVAL pass needs (each doc must cut at its own occurrence of a
+    duplicated fingerprint, so value-only output isn't enough).
+
+    Selection rule: per winnow frame, the LEFTMOST occurrence of the
+    frame's minimum hash. The selected VALUE per frame is the frame min
+    either way, so the value set per doc is identical to
+    :func:`winnow_fingerprints_np` (differentially tested); repeated
+    selections of the same window by overlapping frames collapse via a
+    boolean mask over window positions.
+
+    Returns ``(vals, pos, counts)``: flat uint64 fingerprint values, the
+    doc-relative TOKEN index of each selected window's first token
+    (int64, strictly increasing within a doc), and selections per doc.
+    """
+    np.seterr(over="ignore")
+    ndocs = len(lengths)
+    flat_roll, m, roll_starts, roll_ends, roll_doc = _doc_window_hashes(
+        flat, lengths, span
+    )
+    if flat_roll is None:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(ndocs, dtype=np.int64))
+
+    sel = np.zeros(len(flat_roll), dtype=bool)
+    W = len(flat_roll) - window + 1
+    if W > 0:
+        frame_argmin = np.lib.stride_tricks.sliding_window_view(
+            flat_roll, window
+        ).argmin(axis=1)
+        pos = np.nonzero(roll_doc[:W] == roll_doc[window - 1:])[0]
+        sel[pos + frame_argmin[pos]] = True
+    for d in np.nonzero((m > 0) & (m <= window))[0]:
+        s, e = roll_starts[d], roll_ends[d]
+        sel[s + int(flat_roll[s:e].argmin())] = True
+
+    idx = np.nonzero(sel)[0]
+    d = roll_doc[idx]
+    return (flat_roll[idx], idx - roll_starts[d],
+            np.bincount(d, minlength=ndocs).astype(np.int64))
 
 
 def make_fingerprint_udf(span: int, window: int):
@@ -115,6 +179,32 @@ def make_fingerprint_udf(span: int, window: int):
 
     # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+
+
+def make_fingerprint_pos_udf(span: int, window: int):
+    """pandas UDF: raw text -> struct(fps: array<bigint>, poss:
+    array<bigint>) — winnowed fingerprints WITH doc-relative token
+    positions (parallel arrays; zip + explode JVM-side). Null text ->
+    null struct fields; docs shorter than ``span`` tokens -> empty."""
+    from pyspark.sql.types import StructField, StructType
+
+    ret = StructType([
+        StructField("fps", ArrayType(LongType())),
+        StructField("poss", ArrayType(LongType())),
+    ])
+
+    def batch(texts: pd.Series) -> pd.DataFrame:
+        flat, lengths, isna = textfns.flat_token_hashes_np(texts)
+        vals, pos, counts = winnow_fingerprint_positions_np(
+            flat, lengths, span, window
+        )
+        return pd.DataFrame({
+            "fps": textfns.segments_to_series(vals, counts, isna),
+            "poss": textfns.segments_to_series(pos, counts, isna),
+        })
+
+    # see minhash.make_band_udf: prevents duplicate evaluation on pushdown
+    return F.pandas_udf(batch, ret).asNondeterministic()
 
 
 def make_token_hash_udf():
@@ -201,3 +291,185 @@ class FingerprintSubstring:
             .filter(F.col("common_span") >= min_span)
             .select("id_1", "id_2", "common_span")
         )
+
+
+def cut_token_spans_np(texts: pd.Series, cuts: pd.Series, span: int):
+    """Delete the ``span``-token window starting at each cut position from
+    each text (positions are token indices under the engine tokenizer,
+    :func:`textfns.token_bounds_np`). Overlapping windows merge; deleted
+    bytes run from the first token's first byte to the last token's last
+    byte, so the surrounding whitespace survives (deterministic, and the
+    remaining tokens are byte-identical to their originals).
+
+    Returns ``(texts, n_spans, n_tokens)`` numpy/object arrays: the edited
+    text (None where input was null), merged spans deleted, tokens
+    deleted. Per-doc Python loop by design — callers only pass AFFECTED
+    docs (a small fraction of any real corpus); within a doc the merge is
+    numpy."""
+    data, offs, starts, ends, lengths, isna = textfns.token_bounds_np(texts)
+    tok_bounds = np.searchsorted(starts, offs)
+    n = len(texts)
+    out_text = np.empty(n, dtype=object)
+    n_spans = np.zeros(n, dtype=np.int64)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if isna[i]:
+            out_text[i] = None
+            continue
+        ps = cuts.iloc[i]
+        if ps is None or len(ps) == 0:
+            out_text[i] = texts.iloc[i]
+            continue
+        t0, t1 = tok_bounds[i], tok_bounds[i + 1]
+        L = t1 - t0
+        ps = np.unique(np.asarray(ps, dtype=np.int64))  # sorted
+        ps = ps[(ps >= 0) & (ps < L)]
+        if len(ps) == 0:
+            out_text[i] = texts.iloc[i]
+            continue
+        starts_t = ps
+        ends_t = np.minimum(ps + span, L)
+        # merge overlapping/adjacent token ranges: a range is a new merged
+        # span iff it starts past the running max end of its predecessors
+        run_end = np.maximum.accumulate(ends_t)
+        new_span = np.ones(len(ps), dtype=bool)
+        new_span[1:] = starts_t[1:] > run_end[:-1]
+        m_start = starts_t[new_span]
+        m_end = np.maximum.reduceat(ends_t, np.nonzero(new_span)[0])
+        # byte surgery (doc-relative)
+        lo = offs[i]
+        dbytes = data[offs[i]:offs[i + 1]]
+        keep = []
+        prev = 0
+        for s, e in zip(m_start, m_end):
+            keep.append(dbytes[prev:starts[t0 + s] - lo])
+            prev = ends[t0 + e - 1] - lo
+        keep.append(dbytes[prev:])
+        out_text[i] = b"".join(p.tobytes() for p in keep).decode("utf-8")
+        n_spans[i] = len(m_start)
+        n_tokens[i] = int((m_end - m_start).sum())
+    return out_text, n_spans, n_tokens
+
+
+def make_span_cut_udf(span: int):
+    """pandas UDF: (text, array<bigint> cut positions) -> struct(text:
+    string, cut_spans: int, cut_tokens: bigint) via
+    :func:`cut_token_spans_np`."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    ret = StructType([
+        StructField("text", StringType()),
+        StructField("cut_spans", IntegerType()),
+        StructField("cut_tokens", LongType()),
+    ])
+
+    def batch(texts: pd.Series, cuts: pd.Series) -> pd.DataFrame:
+        out, n_spans, n_tokens = cut_token_spans_np(texts, cuts, span)
+        return pd.DataFrame({
+            "text": out,
+            "cut_spans": n_spans.astype(np.int32),
+            "cut_tokens": n_tokens,
+        })
+
+    return F.pandas_udf(batch, ret).asNondeterministic()
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 32,
+    winnow_window: int = 19,
+    keep_one: bool = True,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the corpus transformation half of
+    the long-span pass (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr: when a long token span
+    occurs more than once in the corpus, delete all but one occurrence
+    from the training text). :meth:`FingerprintSubstring.verified_pairs`
+    reports WHICH docs share spans; this edits the text.
+
+    Semantics: every winnow-selected fingerprint (value selected at >= 2
+    occurrences corpus-wide, within or across docs) has all occurrences
+    beyond the globally-first (min ``(id, pos)``) deleted — each deletion
+    cuts that occurrence's ``span_tokens``-token window from its doc
+    (``keep_one=False`` deletes ALL occurrences). By the winnowing
+    guarantee, any two docs sharing an exact run of
+    ``span_tokens + winnow_window - 1`` tokens both select a common
+    fingerprint inside the run, so after removal at most one of them
+    still contains the run intact. Conservative by construction: when the
+    keeper occurrence of a value sits outside a shared run, both in-run
+    copies are cut (over-removal, never under-removal); a 64-bit
+    fingerprint collision likewise only ADDS a cut (probability ~
+    n_selected^2 / 2^64). Docs shorter than ``span_tokens`` tokens and
+    null texts pass through untouched.
+
+    Returns ``df`` with ``text_col`` rewritten plus ``cut_spans`` (int,
+    merged spans deleted) and ``cut_tokens`` (long) per row.
+
+    Scale design (100 TB):
+
+    - ONE pass computes fingerprints + positions (the winnowing Arrow
+      kernel, ~2/(winnow_window+1) selections per token).
+    - ONE exchange on the fingerprint key: a partition-wide window
+      computes each value's occurrence count and first occurrence
+      (both aggregate over the same window spec -> one Window node);
+      only duplicated-value occurrences survive the filter, so the
+      per-doc cut-list aggregation shuffles matched rows only.
+    - The corpus joins the (tiny, matched-docs-only) cut-list table
+      twice — inner for affected rows, anti for the rest — so the
+      surgery UDF Arrow-transfers AFFECTED docs only and the corpus
+      side never shuffles (AQE broadcasts the cut lists; at realistic
+      duplication rates they are orders of magnitude below corpus
+      size).
+    """
+    from pyspark.sql import Window
+
+    fp_udf = make_fingerprint_pos_udf(span_tokens, winnow_window)
+    occ = (
+        df.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
+        .filter(F.size("_s.fps") > 0)
+        .select("id", F.explode(F.arrays_zip("_s.fps", "_s.poss")).alias("z"))
+        .select("id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))
+    )
+    w = Window.partitionBy("fp")
+    removals = (
+        occ.withColumn("_cnt", F.count("*").over(w))
+        .withColumn("_first", F.min(F.struct("id", "pos")).over(w))
+        .filter(F.col("_cnt") >= 2)
+    )
+    if keep_one:
+        removals = removals.filter(
+            (F.col("id") != F.col("_first.id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+    # renamed join key: cut_lists derives from df, so joining on a shared
+    # column object would be a self-join ambiguity. persist(): both the
+    # inner and the anti join below consume this table — without it each
+    # branch would recompute the full winnowing pass over the corpus
+    # (verified by .explain: two ArrowEvalPython subtrees), doubling the
+    # dominant cost; persisted, the (small, affected-docs-only) table is
+    # computed once and broadcast twice.
+    cut_lists = removals.groupBy("id").agg(
+        F.sort_array(F.collect_set("pos")).alias("_cuts")
+    ).withColumnRenamed("id", "_cut_id").persist()
+
+    key = F.col(id_col) == F.col("_cut_id")
+    cut_udf = make_span_cut_udf(span_tokens)
+    affected = (
+        df.join(cut_lists, key, "inner")
+        .drop("_cut_id")
+        .withColumn("_r", cut_udf(F.col(text_col), F.col("_cuts")))
+        .drop("_cuts")
+        .withColumn(text_col, F.col("_r.text"))
+        .withColumn("cut_spans", F.col("_r.cut_spans"))
+        .withColumn("cut_tokens", F.col("_r.cut_tokens"))
+        .drop("_r")
+    )
+    untouched = (
+        df.join(cut_lists, key, "left_anti")
+        .withColumn("cut_spans", F.lit(0))
+        .withColumn("cut_tokens", F.lit(0).cast("long"))
+    )
+    return untouched.unionByName(affected)

@@ -78,25 +78,22 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def flat_token_hashes_np(texts: pd.Series):
-    """Tokenize + hash one Arrow batch of text, byte-level vectorized.
+def token_bounds_np(texts: pd.Series):
+    """Tokenize one Arrow batch of text, byte-level vectorized — the
+    boundary half of :func:`flat_token_hashes_np`, exposed so operators
+    that edit text (``suffix.remove_duplicate_spans``) cut at exactly the
+    token boundaries the dedup hashes were computed over.
 
-    Returns ``(flat, lengths, isna)``: ``flat`` — uint64 hash per token,
-    all docs concatenated; ``lengths`` — tokens per doc (0 for
-    null/empty); ``isna`` — bool mask of null texts.
+    Returns ``(data, offs, starts, ends, lengths, isna)``:
+    ``data`` — the batch's contiguous UTF-8 bytes; ``offs`` — int64 doc
+    byte offsets into ``data`` (len ndocs+1); ``starts``/``ends`` —
+    global byte offsets of each token (end exclusive), all docs
+    concatenated; ``lengths`` — tokens per doc (0 for null/empty);
+    ``isna`` — bool mask of null texts.
 
-    Zero per-token Python objects: the batch is viewed as one contiguous
-    UTF-8 byte buffer (the Arrow layout), tokens are maximal runs of
-    non-ASCII-whitespace found with vectorized byte masks, and each
-    token's hash is a rolling polynomial over its bytes computed from
-    cache-blocked prefix sums (same inverse-power trick as the winnowing
-    kernel — chunk-relative exponents cancel), finished with a
-    splitmix64 mix. The previous object-based path (str.split +
-    pd.util.hash_array) touched ~15x more memory per token and its
-    allocator churn inverted scaling at high worker counts.
-
-    Tokenization note: splits on ASCII whitespace only (the engine's
-    tokenizer definition); ``str.split()`` also splits on unicode spaces.
+    Tokens are maximal runs of non-ASCII-whitespace bytes. Multi-byte
+    UTF-8 code units are never split: continuation bytes are >= 0x80,
+    so a token boundary always falls on an ASCII whitespace byte.
     """
     np.seterr(over="ignore")
     import pyarrow as pa
@@ -124,7 +121,8 @@ def flat_token_hashes_np(texts: pd.Series):
     ndocs = len(arr)
     N = len(data)
     if N == 0:
-        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64), isna
+        return (data, offs, np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(ndocs, dtype=np.int64), isna)
 
     ws = _WS_TABLE[data]
     # boundary flags: position i starts a token iff non-ws and (i is a doc
@@ -142,13 +140,37 @@ def flat_token_hashes_np(texts: pd.Series):
     starts = np.nonzero(~ws & prev_ws)[0]
     ends = np.nonzero(~ws & next_ws)[0] + 1  # exclusive
 
-    n_tok = len(starts)
-    if n_tok == 0:
-        return np.empty(0, np.uint64), np.zeros(ndocs, dtype=np.int64), isna
+    if len(starts) == 0:
+        return data, offs, starts, ends, np.zeros(ndocs, dtype=np.int64), isna
     # tokens per doc: one searchsorted of the (few) doc offsets into the
     # (many) token starts — NOT per-token lookups
     lengths = np.diff(np.searchsorted(starts, offs)).astype(np.int64)
     lengths[isna] = 0  # null slots have empty spans anyway; belt+braces
+    return data, offs, starts, ends, lengths, isna
+
+
+def flat_token_hashes_np(texts: pd.Series):
+    """Tokenize + hash one Arrow batch of text, byte-level vectorized.
+
+    Returns ``(flat, lengths, isna)``: ``flat`` — uint64 hash per token,
+    all docs concatenated; ``lengths`` — tokens per doc (0 for
+    null/empty); ``isna`` — bool mask of null texts.
+
+    Zero per-token Python objects: token boundaries come from
+    :func:`token_bounds_np` (vectorized byte masks over the contiguous
+    Arrow buffer), and each token's hash is a rolling polynomial over its
+    bytes computed from cache-blocked prefix sums (same inverse-power
+    trick as the winnowing kernel — chunk-relative exponents cancel),
+    finished with a splitmix64 mix. The previous object-based path
+    (str.split + pd.util.hash_array) touched ~15x more memory per token
+    and its allocator churn inverted scaling at high worker counts.
+    """
+    np.seterr(over="ignore")
+    data, offs, starts, ends, lengths, isna = token_bounds_np(texts)
+    n_tok = len(starts)
+    if n_tok == 0:
+        return np.empty(0, np.uint64), lengths, isna
+    N = len(data)
 
     # --- chunked rolling-polynomial hash over token byte spans ----------
     max_tok = int((ends - starts).max())

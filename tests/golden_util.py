@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "phonetic_codes",
     "simhash_candidates",
     "substring_span_pairs",
+    "substring_span_removal",
     "embedding_near_dup_lsh",
     "ecm_params",
     "multimodal_features",

@@ -516,3 +516,86 @@ if _HAS_HYP:
             el = sm.lcs_sim(x, y)
             assert (np.isnan(vs[i]) and np.isnan(es)) or vs[i] == es
             assert (np.isnan(vl[i]) and np.isnan(el)) or vl[i] == el
+
+
+# ---- winnow positions kernel (suffix.winnow_fingerprint_positions_np) ----
+
+from recordlinkage_spark.suffix import (  # noqa: E402
+    cut_token_spans_np,
+    winnow_fingerprint_positions_np,
+)
+
+
+def naive_roll(doc_hashes, span):
+    """All span-window rolling hashes of one doc (the _doc_window_hashes
+    contract), via the same math as naive_winnow."""
+    h = np.asarray(doc_hashes, dtype=np.uint64)
+    n = len(h)
+    if n < span:
+        return np.empty(0, np.uint64)
+    np.seterr(over="ignore")
+    p_inv = np.uint64(pow(int(_P), -1, 2**64))
+    m = n - span + 1
+    invp = np.ones(n, dtype=np.uint64)
+    invp[1:] = p_inv
+    np.multiply.accumulate(invp, out=invp)
+    t = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(h * invp, out=t[1:])
+    pw = np.ones(m, dtype=np.uint64)
+    pw[0] = _P
+    for _ in range(span - 2):
+        pw[0] = pw[0] * _P
+    pw[1:] = _P
+    np.multiply.accumulate(pw, out=pw)
+    return pw * (t[span:] - t[:m])
+
+
+@pytest.mark.parametrize("span,window", [(4, 3), (8, 5), (16, 9)])
+def test_winnow_positions_matches_value_kernel(rng, span, window):
+    """Same value set per doc as winnow_fingerprints_np; every recorded
+    position points at a window that really hashes to its value; positions
+    strictly increase within a doc."""
+    docs = random_docs(rng, 150, 40)
+    flat = np.concatenate([d for d in docs if len(d)]) if any(
+        len(d) for d in docs) else np.empty(0, np.uint64)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    vals, pos, counts = winnow_fingerprint_positions_np(
+        flat, lengths, span, window)
+    dvals, dcounts = winnow_fingerprints_np(flat, lengths, span, window)
+    p = pd_ = 0
+    for d, c, dc in zip(docs, counts, dcounts):
+        got_v, got_p = vals[p:p + c], pos[p:p + c]
+        assert np.array_equal(np.unique(got_v), np.sort(dvals[pd_:pd_ + dc]))
+        assert np.all(np.diff(got_p) > 0)
+        roll = naive_roll(d, span)
+        assert np.all(got_p >= 0) and (len(got_p) == 0 or got_p.max() < len(roll))
+        assert np.array_equal(roll[got_p], got_v)
+        p += c
+        pd_ += dc
+    assert p == len(vals)
+
+
+def test_cut_token_spans_np_basic():
+    texts = pd.Series([
+        "a b c d e f g h",      # cut [1,3) and [2,4) -> merge to [1,4)
+        "x y z",                 # no cuts
+        None,                    # null passthrough
+        "héllo wörld αβγ δε ζ",  # multi-byte tokens, cut [1,3)
+        "p q",                   # out-of-range cut ignored
+    ])
+    cuts = pd.Series([[1, 2], None, None, [1], [5]], dtype=object)
+    out, n_spans, n_tokens = cut_token_spans_np(texts, cuts, span=2)
+    assert out[0] == "a  e f g h"          # b c d cut, whitespace kept
+    assert (n_spans[0], n_tokens[0]) == (1, 3)
+    assert out[1] == "x y z" and n_spans[1] == 0
+    assert out[2] is None
+    assert out[3] == "héllo  δε ζ" and n_tokens[3] == 2
+    assert out[4] == "p q" and n_spans[4] == 0
+
+
+def test_cut_token_spans_np_clamps_tail():
+    texts = pd.Series(["t0 t1 t2 t3"])
+    out, n_spans, n_tokens = cut_token_spans_np(
+        texts, pd.Series([[3]], dtype=object), span=5)
+    assert out[0] == "t0 t1 t2 "
+    assert (n_spans[0], n_tokens[0]) == (1, 1)
