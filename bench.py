@@ -90,7 +90,8 @@ def main() -> None:
     from recordlinkage_spark.network import ConnectedComponents
     from recordlinkage_spark.pipeline import DedupPipeline
     from recordlinkage_spark.simhash import SimHash
-    from recordlinkage_spark.suffix import FingerprintSubstring
+    from recordlinkage_spark.suffix import (FingerprintSubstring,
+                                            remove_duplicate_spans)
     from recordlinkage_spark import ann
     from recordlinkage_spark.semdedup import semantic_dedup
 
@@ -185,6 +186,10 @@ def main() -> None:
         ("substring_pairs",
          lambda: FingerprintSubstring(span_tokens=16, winnow_window=9)
          .candidate_pairs(docs, "doc_id", "text").count()),
+        ("substring_removal",
+         lambda: remove_duplicate_spans(docs, "doc_id", "text",
+                                        span_tokens=16, winnow_window=9)
+         .filter("cut_spans > 0").count()),
         ("compare_6feat_50k", run_compare),
         ("ecm_50k", run_ecm),
         ("connected_components", run_cc),

@@ -203,7 +203,21 @@ def main() -> None:
         return {"lines_removed": int(row["r"]),
                 "chars_removed": int(row["c"])}
 
+    def run_span_removal():
+        from recordlinkage_spark.suffix import remove_duplicate_spans
+
+        out = remove_duplicate_spans(
+            docs, "doc_id", "text", span_tokens=32, winnow_window=19,
+        )
+        row = out.agg(
+            F.sum((F.col("cut_spans") > 0).cast("long")).alias("d"),
+            F.sum("cut_tokens").alias("t"),
+        ).collect()[0]
+        return {"affected_docs": int(row["d"] or 0),
+                "cut_tokens": int(row["t"] or 0)}
+
     run("filter_urls", run_filter_urls)
+    run("span_removal", run_span_removal)
     run("dedup_lines_in_doc", run_dedup_lines_in_doc)
     run("corpus_stats", run_corpus_stats)
     run("unigram_logprob", run_unigram_logprob)
