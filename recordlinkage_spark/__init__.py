@@ -25,7 +25,10 @@ from recordlinkage_spark.indexing import (
 )
 from recordlinkage_spark.minhash import MinHashLSH
 from recordlinkage_spark.simhash import SimHash
-from recordlinkage_spark.suffix import FingerprintSubstring
+from recordlinkage_spark.suffix import (
+    FingerprintSubstring,
+    remove_duplicate_spans,
+)
 from recordlinkage_spark.comparing import Compare
 from recordlinkage_spark.classifiers import (
     ECMClassifier,
@@ -55,6 +58,7 @@ __all__ = [
     "MinHashLSH",
     "SimHash",
     "FingerprintSubstring",
+    "remove_duplicate_spans",
     "Compare",
     "ThresholdClassifier",
     "LogisticRegressionClassifier",
