@@ -599,3 +599,50 @@ def test_cut_token_spans_np_clamps_tail():
         texts, pd.Series([[3]], dtype=object), span=5)
     assert out[0] == "t0 t1 t2 "
     assert (n_spans[0], n_tokens[0]) == (1, 1)
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                    ),
+                    max_size=80,
+                ),
+                st.lists(st.integers(-2, 30), max_size=6),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(1, 5),
+    )
+    def test_hypothesis_cut_token_spans(rows, span):
+        """Oracle: Python-level tokenize (ASCII-whitespace split), drop the
+        merged cut token ranges, and the kernel's surviving tokens must
+        equal the oracle's — on arbitrary unicode, out-of-range cuts,
+        duplicates, and unsorted input."""
+        import re
+
+        texts = pd.Series([t for t, _ in rows])
+        cuts = pd.Series([c for _, c in rows], dtype=object)
+        out, n_spans, n_tokens = cut_token_spans_np(texts, cuts, span)
+        ws = re.compile(r"[\t\n\x0b\x0c\r ]+")
+
+        def toks(s):
+            return [t for t in ws.split(s) if t]
+
+        for i, (text, cut) in enumerate(rows):
+            tok = toks(text)
+            valid = sorted({p for p in cut if 0 <= p < len(tok)})
+            drop = set()
+            for p in valid:
+                drop.update(range(p, min(p + span, len(tok))))
+            expect = [t for j, t in enumerate(tok) if j not in drop]
+            assert toks(out[i]) == expect
+            assert n_tokens[i] == len(drop)
+            if not drop:
+                assert out[i] == text  # untouched docs byte-identical
