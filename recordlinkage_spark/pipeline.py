@@ -38,11 +38,13 @@ class DedupPipeline:
         work_dir: str | None = None,
         jaccard_threshold: float = 0.7,
         use_substring_pass: bool = True,
+        remove_spans: bool = False,
     ):
         self.config = config or EngineConfig()
         self.work_dir = Path(work_dir) if work_dir else None
         self.jaccard_threshold = jaccard_threshold
         self.use_substring_pass = use_substring_pass
+        self.remove_spans = remove_spans
         self.metrics: list[dict] = []
         self._manifest: dict = {}
 
@@ -151,7 +153,10 @@ class DedupPipeline:
         quality_col: str | None = None,
     ) -> dict[str, DataFrame]:
         """Returns {'pairs': ..., 'matches': ..., 'clusters': ...}; with
-        ``quality_col`` set, also ``'keep'`` — the per-record survivor flag
+        ``remove_spans=True``, also ``'cleaned'`` — the records with
+        duplicated long spans cut from the text (ExactSubstr keep-one,
+        ``suffix.remove_duplicate_spans``, checkpointed like every other
+        stage); with ``quality_col`` set, also ``'keep'`` — the per-record survivor flag
         ``(id, cluster_id, keep)`` from ``network.select_representatives``
         ordered by quality descending (best-quality doc per duplicate
         cluster instead of the arbitrary min-id default; singletons keep
@@ -260,6 +265,26 @@ class DedupPipeline:
             ),
         )
         out = {"pairs": pairs, "matches": matches, "clusters": clusters}
+        if self.remove_spans:
+            # ExactSubstr span removal (suffix.remove_duplicate_spans):
+            # rewrites the TEXT, complementing the doc-level cluster/keep
+            # outputs — boilerplate runs shared across otherwise-distinct
+            # docs get cut to one corpus-wide copy. Runs its own
+            # position-aware winnowing pass over the records (the shared
+            # signature UDF emits fingerprint VALUES only — removal needs
+            # each doc's occurrence positions), so this stage costs one
+            # extra Arrow pass over the corpus; it is opt-in for exactly
+            # that reason.
+            from recordlinkage_spark.suffix import remove_duplicate_spans
+
+            out["cleaned"] = self._stage(
+                spark, "cleaned",
+                lambda: remove_duplicate_spans(
+                    records, id_col, text_col,
+                    span_tokens=cfg.span_tokens,
+                    winnow_window=cfg.winnow_window,
+                ),
+            )
         if quality_col is not None:
             from recordlinkage_spark.network import select_representatives
 

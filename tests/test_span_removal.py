@@ -123,3 +123,31 @@ def test_plan_computes_winnowing_once(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_pipeline_cleaned_stage(spark, tmp_path):
+    """remove_spans=True adds a checkpointed 'cleaned' stage whose text has
+    the planted block cut everywhere but the keeper, and resume skips it."""
+    from recordlinkage_spark.config import EngineConfig
+    from recordlinkage_spark.pipeline import DedupPipeline
+
+    df = corpus(spark).filter(F.col("text").isNotNull())
+    cfg = EngineConfig(num_perm=64, lsh_bands=16, lsh_rows=4,
+                       shingle_size=2, span_tokens=SPAN,
+                       winnow_window=WINDOW)
+    work = str(tmp_path / "wd")
+    p1 = DedupPipeline(cfg, work_dir=work, jaccard_threshold=0.5,
+                       remove_spans=True)
+    out = p1.run(df, id_col="doc_id", text_col="text")
+    assert "cleaned" in out
+    cleaned = {r["doc_id"]: r for r in out["cleaned"].collect()}
+    survivors = [d for d in ("a", "b", "c") if BLOCK in cleaned[d]["text"]]
+    assert len(survivors) == 1
+    assert "cleaned" in [m["stage"] for m in p1.metrics]
+    # resume: the stage is read back from the manifest, not re-run
+    p2 = DedupPipeline(cfg, work_dir=work, jaccard_threshold=0.5,
+                       remove_spans=True)
+    out2 = p2.run(df, id_col="doc_id", text_col="text")
+    assert p2.metrics == []
+    assert out2["cleaned"].filter("cut_spans > 0").count() == \
+        out["cleaned"].filter("cut_spans > 0").count()
