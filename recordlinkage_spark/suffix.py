@@ -181,6 +181,60 @@ def make_fingerprint_udf(span: int, window: int):
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
+def _lcrun_scalar(a: np.ndarray, b: np.ndarray) -> int:
+    """Per-pair longest-common-contiguous-run DP — the original
+    verified_pairs kernel, retained as the differential oracle for
+    :func:`longest_common_run_batch_np` (tests/test_np_kernels.py)."""
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    best = 0
+    for x in range(1, len(a) + 1):
+        cur = np.zeros(len(b) + 1, dtype=np.int64)
+        eq = b == a[x - 1]
+        cur[1:][eq] = prev[:-1][eq] + 1
+        mx = cur.max() if len(cur) else 0
+        if mx > best:
+            best = int(mx)
+        prev = cur
+    return best
+
+
+def longest_common_run_batch_np(t1: pd.Series, t2: pd.Series) -> np.ndarray:
+    """Longest common contiguous token run per pair, with the DP rows
+    vectorized ACROSS the Arrow batch: one Python-level step per row index
+    of the longer left side (max_len_a steps total), each step one
+    ``(batch, max_len_b)`` numpy compare + shifted add — versus the
+    original per-pair loop's ``sum(len_a_i)`` Python steps. Same recipe as
+    the r3 stringmetrics batch kernels (padded rectangles + validity
+    masks; masks, not sentinels — token hashes span the full int64 range,
+    so no pad value is collision-free). Null/empty token arrays -> 0.
+    """
+    n = len(t1)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    la = np.array([0 if v is None else len(v) for v in t1], dtype=np.int64)
+    lb = np.array([0 if v is None else len(v) for v in t2], dtype=np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    if La == 0 or Lb == 0:
+        return out
+    A = np.zeros((n, La), dtype=np.int64)
+    B = np.zeros((n, Lb), dtype=np.int64)
+    for i in range(n):
+        if la[i]:
+            A[i, :la[i]] = np.asarray(t1.iloc[i], dtype=np.int64)
+        if lb[i]:
+            B[i, :lb[i]] = np.asarray(t2.iloc[i], dtype=np.int64)
+    b_valid = np.arange(Lb)[None, :] < lb[:, None]
+    prev = np.zeros((n, Lb + 1), dtype=np.int64)
+    cur = np.zeros((n, Lb + 1), dtype=np.int64)
+    for x in range(La):
+        eq = (B == A[:, x][:, None]) & b_valid & (x < la)[:, None]
+        cur[:, 1:] = np.where(eq, prev[:, :-1] + 1, 0)
+        np.maximum(out, cur[:, 1:].max(axis=1), out=out)
+        prev, cur = cur, prev
+    return out
+
+
 def make_fingerprint_pos_udf(span: int, window: int):
     """pandas UDF: raw text -> struct(fps: array<bigint>, poss:
     array<bigint>) — winnowed fingerprints WITH doc-relative token
@@ -254,7 +308,8 @@ class FingerprintSubstring:
     def verified_pairs(self, df: DataFrame, id_col: str, text_col: str,
                        min_span: int | None = None) -> DataFrame:
         """Candidates + exact longest-common-token-run verification
-        (numpy DP per pair in one Arrow batch)."""
+        (:func:`longest_common_run_batch_np` — DP rows vectorized across
+        the whole Arrow batch, not per pair)."""
         min_span = min_span or self.span_tokens
         cands = self.candidate_pairs(df, id_col, text_col)
         # persist: avoid re-tokenizing each doc once per probed pair
@@ -268,22 +323,7 @@ class FingerprintSubstring:
         )
 
         def lcrun(t1: pd.Series, t2: pd.Series) -> pd.Series:
-            out = np.zeros(len(t1), dtype=np.int64)
-            for i in range(len(t1)):
-                a = np.asarray(t1.iloc[i], dtype=np.int64)
-                b = np.asarray(t2.iloc[i], dtype=np.int64)
-                prev = np.zeros(len(b) + 1, dtype=np.int64)
-                best = 0
-                for x in range(1, len(a) + 1):
-                    cur = np.zeros(len(b) + 1, dtype=np.int64)
-                    eq = b == a[x - 1]
-                    cur[1:][eq] = prev[:-1][eq] + 1
-                    mx = cur.max()
-                    if mx > best:
-                        best = int(mx)
-                    prev = cur
-                out[i] = best
-            return pd.Series(out)
+            return pd.Series(longest_common_run_batch_np(t1, t2))
 
         udf = F.pandas_udf(lcrun, LongType())
         return (

@@ -646,3 +646,56 @@ if _HAS_HYP:
             assert n_tokens[i] == len(drop)
             if not drop:
                 assert out[i] == text  # untouched docs byte-identical
+
+
+# ---- batched longest-common-run (suffix.verified_pairs kernel) ----------
+
+def test_lcr_batch_matches_scalar(rng):
+    from recordlinkage_spark.suffix import (_lcrun_scalar,
+                                            longest_common_run_batch_np)
+
+    pairs = []
+    for _ in range(120):
+        # small alphabet -> plenty of accidental runs to disagree on
+        a = rng.randint(0, 6, rng.randint(0, 30)).astype(np.int64)
+        b = rng.randint(0, 6, rng.randint(0, 30)).astype(np.int64)
+        pairs.append((a, b))
+    pairs.append((None, np.array([1, 2], dtype=np.int64)))  # null side
+    pairs.append((np.array([], dtype=np.int64), None))
+    t1 = pd.Series([p[0] for p in pairs], dtype=object)
+    t2 = pd.Series([p[1] for p in pairs], dtype=object)
+    got = longest_common_run_batch_np(t1, t2)
+    for i, (a, b) in enumerate(pairs):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            assert got[i] == 0
+        else:
+            assert got[i] == _lcrun_scalar(a, b), (i, list(a), list(b))
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(st.integers(-3, 3), max_size=25),
+                st.lists(st.integers(-3, 3), max_size=25),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_hypothesis_lcr_batch(pairs):
+        from recordlinkage_spark.suffix import (_lcrun_scalar,
+                                                longest_common_run_batch_np)
+
+        t1 = pd.Series([np.asarray(a, dtype=np.int64) for a, _ in pairs],
+                       dtype=object)
+        t2 = pd.Series([np.asarray(b, dtype=np.int64) for _, b in pairs],
+                       dtype=object)
+        got = longest_common_run_batch_np(t1, t2)
+        for i, (a, b) in enumerate(pairs):
+            expect = _lcrun_scalar(
+                np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
+            ) if a and b else 0
+            assert got[i] == expect
