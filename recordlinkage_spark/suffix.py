@@ -198,15 +198,59 @@ def _lcrun_scalar(a: np.ndarray, b: np.ndarray) -> int:
     return best
 
 
+# Row budget per DP rectangle: bounds peak pad-matrix memory to
+# ~2 * _LCR_CHUNK_ELEMS int64 cells regardless of batch shape.
+_LCR_CHUNK_ELEMS = 1 << 23
+
+
+def _lcr_rect(t1, t2, idx, la, lb, out):
+    """Rectangle DP over the pair subset ``idx`` (near-uniform lengths by
+    construction — see caller): one Python step per left row index, each a
+    ``(rows, Lb)`` compare + shifted add, with validity masks rather than
+    pad sentinels (token hashes span the full int64 range, so no pad value
+    is collision-free)."""
+    La = int(la[idx].max())
+    Lb = int(lb[idx].max())
+    if La == 0 or Lb == 0:
+        return
+    rows_per_chunk = max(1, _LCR_CHUNK_ELEMS // (La + Lb))
+    for c0 in range(0, len(idx), rows_per_chunk):
+        sub = idx[c0:c0 + rows_per_chunk]
+        n = len(sub)
+        A = np.zeros((n, La), dtype=np.int64)
+        B = np.zeros((n, Lb), dtype=np.int64)
+        for j, i in enumerate(sub):
+            if la[i]:
+                A[j, :la[i]] = np.asarray(t1.iloc[i], dtype=np.int64)
+            if lb[i]:
+                B[j, :lb[i]] = np.asarray(t2.iloc[i], dtype=np.int64)
+        b_valid = np.arange(Lb)[None, :] < lb[sub][:, None]
+        prev = np.zeros((n, Lb + 1), dtype=np.int64)
+        cur = np.zeros((n, Lb + 1), dtype=np.int64)
+        best = np.zeros(n, dtype=np.int64)
+        for x in range(La):
+            eq = (B == A[:, x][:, None]) & b_valid & (x < la[sub])[:, None]
+            cur[:, 1:] = np.where(eq, prev[:, :-1] + 1, 0)
+            np.maximum(best, cur[:, 1:].max(axis=1), out=best)
+            prev, cur = cur, prev
+        out[sub] = best
+
+
 def longest_common_run_batch_np(t1: pd.Series, t2: pd.Series) -> np.ndarray:
     """Longest common contiguous token run per pair, with the DP rows
-    vectorized ACROSS the Arrow batch: one Python-level step per row index
-    of the longer left side (max_len_a steps total), each step one
-    ``(batch, max_len_b)`` numpy compare + shifted add — versus the
-    original per-pair loop's ``sum(len_a_i)`` Python steps. Same recipe as
-    the r3 stringmetrics batch kernels (padded rectangles + validity
-    masks; masks, not sentinels — token hashes span the full int64 range,
-    so no pad value is collision-free). Null/empty token arrays -> 0.
+    vectorized ACROSS the Arrow batch instead of per pair.
+
+    Web corpora are heavily length-skewed, and a single padded rectangle
+    over the whole batch does ``n * max(la) * max(lb)`` work — one
+    2000-token pair among 500 short ones made the naive batch form ~190x
+    SLOWER than the per-pair loop (review finding, session 6). So pairs
+    are bucketed by the power-of-2 class of (len_a, len_b) and each
+    bucket gets its own rectangle (:func:`_lcr_rect`): within a bucket no
+    side exceeds 2x its minimum, so pad waste is bounded at 4x of the
+    exact ``sum(la_i * lb_i)`` work, while uniform batches keep the full
+    vectorization win (7.7x at 50-100-token docs). A lone giant pair
+    lands in its own bucket at ~scalar cost; rectangles are row-chunked
+    so pad matrices stay under ~128 MB. Null/empty token arrays -> 0.
     """
     n = len(t1)
     out = np.zeros(n, dtype=np.int64)
@@ -214,24 +258,22 @@ def longest_common_run_batch_np(t1: pd.Series, t2: pd.Series) -> np.ndarray:
         return out
     la = np.array([0 if v is None else len(v) for v in t1], dtype=np.int64)
     lb = np.array([0 if v is None else len(v) for v in t2], dtype=np.int64)
-    La, Lb = int(la.max()), int(lb.max())
-    if La == 0 or Lb == 0:
+    nonzero = (la > 0) & (lb > 0)
+    if not nonzero.any():
         return out
-    A = np.zeros((n, La), dtype=np.int64)
-    B = np.zeros((n, Lb), dtype=np.int64)
-    for i in range(n):
-        if la[i]:
-            A[i, :la[i]] = np.asarray(t1.iloc[i], dtype=np.int64)
-        if lb[i]:
-            B[i, :lb[i]] = np.asarray(t2.iloc[i], dtype=np.int64)
-    b_valid = np.arange(Lb)[None, :] < lb[:, None]
-    prev = np.zeros((n, Lb + 1), dtype=np.int64)
-    cur = np.zeros((n, Lb + 1), dtype=np.int64)
-    for x in range(La):
-        eq = (B == A[:, x][:, None]) & b_valid & (x < la)[:, None]
-        cur[:, 1:] = np.where(eq, prev[:, :-1] + 1, 0)
-        np.maximum(out, cur[:, 1:].max(axis=1), out=out)
-        prev, cur = cur, prev
+    # power-of-2 length class per side -> one rectangle per class pair
+    bits_a = np.zeros(n, dtype=np.int64)
+    bits_b = np.zeros(n, dtype=np.int64)
+    m = la > 0
+    bits_a[m] = np.ceil(np.log2(la[m] + 1)).astype(np.int64)
+    m = lb > 0
+    bits_b[m] = np.ceil(np.log2(lb[m] + 1)).astype(np.int64)
+    key = bits_a * 64 + bits_b
+    key[~nonzero] = -1
+    for k in np.unique(key):
+        if k < 0:
+            continue
+        _lcr_rect(t1, t2, np.nonzero(key == k)[0], la, lb, out)
     return out
 
 
@@ -422,6 +464,7 @@ def remove_duplicate_spans(
     span_tokens: int = 32,
     winnow_window: int = 19,
     keep_one: bool = True,
+    max_fp_occurrences: int | None = 10_000,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus transformation half of
     the long-span pass (Lee et al. 2022, "Deduplicating Training Data
@@ -448,24 +491,36 @@ def remove_duplicate_spans(
     Returns ``df`` with ``text_col`` rewritten plus ``cut_spans`` (int,
     merged spans deleted) and ``cut_tokens`` (long) per row.
 
+    ``max_fp_occurrences``: fingerprints selected at MORE than this many
+    occurrences corpus-wide are boilerplate (a nav bar shared by 10^9
+    pages), not document duplication — they are excluded from removal,
+    the same skew policy as ``candidate_pairs``' ``max_bucket_size``
+    bucket drop (boilerplate is ``webtext.line_dedup``'s job; cutting it
+    here would rewrite a large fraction of the corpus through the Python
+    surgery path and blow the "cut lists are tiny" scale contract).
+    ``None`` disables the cap.
+
     Scale design (100 TB):
 
     - ONE pass computes fingerprints + positions (the winnowing Arrow
       kernel, ~2/(winnow_window+1) selections per token).
-    - ONE exchange on the fingerprint key: a partition-wide window
-      computes each value's occurrence count and first occurrence
-      (both aggregate over the same window spec -> one Window node);
-      only duplicated-value occurrences survive the filter, so the
-      per-doc cut-list aggregation shuffles matched rows only.
-    - The corpus joins the (tiny, matched-docs-only) cut-list table
+    - Occurrence counting + global-first selection is a ``groupBy(fp)``
+      aggregate, NOT a window: count and min(struct) both combine
+      map-side, so a hot boilerplate fingerprint is absorbed by partial
+      aggregation instead of funneling every occurrence into one window
+      task (session-6 review fix). The aggregate is filtered to
+      2 <= count <= max_fp_occurrences BEFORE joining back to the
+      occurrence table, so the join's build side holds genuinely
+      duplicated fingerprints only (AQE broadcasts it when small and
+      skew-splits the probe side otherwise).
+    - The per-doc cut-list aggregation shuffles matched rows only.
+    - The corpus joins the (small, affected-docs-only) cut-list table
       twice — inner for affected rows, anti for the rest — so the
       surgery UDF Arrow-transfers AFFECTED docs only and the corpus
       side never shuffles (AQE broadcasts the cut lists; at realistic
       duplication rates they are orders of magnitude below corpus
       size).
     """
-    from pyspark.sql import Window
-
     fp_udf = make_fingerprint_pos_udf(span_tokens, winnow_window)
     occ = (
         df.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
@@ -473,27 +528,37 @@ def remove_duplicate_spans(
         .select("id", F.explode(F.arrays_zip("_s.fps", "_s.poss")).alias("z"))
         .select("id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))
     )
-    w = Window.partitionBy("fp")
-    removals = (
-        occ.withColumn("_cnt", F.count("*").over(w))
-        .withColumn("_first", F.min(F.struct("id", "pos")).over(w))
-        .filter(F.col("_cnt") >= 2)
+    dup_cond = F.col("_cnt") >= 2
+    if max_fp_occurrences is not None:
+        dup_cond = dup_cond & (F.col("_cnt") <= max_fp_occurrences)
+    dup_fps = (
+        occ.groupBy("fp")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(dup_cond)
+        .select("fp", "_first")
     )
+    removals = occ.join(dup_fps, "fp")
     if keep_one:
         removals = removals.filter(
             (F.col("id") != F.col("_first.id"))
             | (F.col("pos") != F.col("_first.pos"))
         )
     # renamed join key: cut_lists derives from df, so joining on a shared
-    # column object would be a self-join ambiguity. persist(): both the
-    # inner and the anti join below consume this table — without it each
-    # branch would recompute the full winnowing pass over the corpus
-    # (verified by .explain: two ArrowEvalPython subtrees), doubling the
-    # dominant cost; persisted, the (small, affected-docs-only) table is
-    # computed once and broadcast twice.
+    # column object would be a self-join ambiguity. localCheckpoint
+    # (lazy): both the inner and the anti join below consume this table —
+    # without it each branch would recompute the full winnowing pass over
+    # the corpus (verified by .explain: two ArrowEvalPython subtrees),
+    # doubling the dominant cost. localCheckpoint rather than persist():
+    # checkpoint blocks are dropped by the ContextCleaner once the
+    # returned DataFrame is unreferenced, so repeated calls don't
+    # accumulate CacheManager entries for the session lifetime
+    # (session-6 review fix).
     cut_lists = removals.groupBy("id").agg(
         F.sort_array(F.collect_set("pos")).alias("_cuts")
-    ).withColumnRenamed("id", "_cut_id").persist()
+    ).withColumnRenamed("id", "_cut_id").localCheckpoint(eager=False)
 
     key = F.col(id_col) == F.col("_cut_id")
     cut_udf = make_span_cut_udf(span_tokens)

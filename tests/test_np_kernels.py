@@ -699,3 +699,23 @@ if _HAS_HYP:
                 np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
             ) if a and b else 0
             assert got[i] == expect
+
+
+def test_lcr_batch_length_skew(rng):
+    """Regression (session-6 review): one giant pair among many short ones
+    must not inflate the whole batch's rectangle — bucketed by length
+    class, the mixed batch stays bit-identical to the scalar oracle and
+    the giant pair costs ~its own area, not n*max*max."""
+    from recordlinkage_spark.suffix import (_lcrun_scalar,
+                                            longest_common_run_batch_np)
+
+    t1 = [rng.randint(0, 9, 12).astype(np.int64) for _ in range(300)]
+    t2 = [rng.randint(0, 9, 12).astype(np.int64) for _ in range(300)]
+    big = rng.randint(0, 9, 3000).astype(np.int64)
+    t1.append(big)
+    t2.append(np.concatenate([big[:100], rng.randint(0, 9, 500).astype(np.int64)]))
+    s1, s2 = pd.Series(t1, dtype=object), pd.Series(t2, dtype=object)
+    got = longest_common_run_batch_np(s1, s2)
+    assert got[-1] >= 100  # the planted shared prefix
+    for i in range(len(t1)):
+        assert got[i] == _lcrun_scalar(t1[i], t2[i])

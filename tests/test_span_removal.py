@@ -114,15 +114,43 @@ def test_schema_and_columns(spark):
 
 
 def test_plan_computes_winnowing_once(spark):
-    """Scale regression: both join branches must read the persisted cut
-    lists (InMemoryTableScan), not recompute the winnowing UDF subtree per
-    branch — unpersisted, the plan held TWO full corpus UDF passes."""
+    """Scale regressions (session-6 review): (a) both join branches must
+    read the checkpointed cut lists, not recompute the winnowing UDF
+    subtree per branch — unmaterialized, the plan held TWO full corpus
+    UDF passes; (b) occurrence counting must be a map-side-combining
+    aggregate, never a Window over partitionBy(fp) (a hot boilerplate
+    fingerprint funnels every occurrence into one window task)."""
     df = corpus(spark)
     out = remove_duplicate_spans(
         df, "doc_id", "text", span_tokens=SPAN, winnow_window=WINDOW
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") == 2
+    # the checkpointed cut-list table (schema [_cut_id, _cuts]) is read by
+    # both join branches; the corpus itself is also an ExistingRDD here
+    # (createDataFrame), so match the cut-list scan by its schema
+    assert plan.count("Scan ExistingRDD[_cut_id") == 2
+    assert plan.count("ArrowEvalPython") == 1    # surgery UDF only
+    assert "Window" not in plan
+
+
+def test_boilerplate_fp_cap(spark):
+    """max_fp_occurrences: a span shared by MANY docs is boilerplate and is
+    NOT cut; the same corpus with the cap lifted cuts it keep-one."""
+    rows = [
+        (f"d{i}", f"u{i}a u{i}b {BLOCK} u{i}c u{i}d") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = remove_duplicate_spans(
+        df, "doc_id", "text", span_tokens=SPAN, winnow_window=WINDOW,
+        max_fp_occurrences=5,
+    )
+    assert capped.filter("cut_spans > 0").count() == 0
+    uncapped = remove_duplicate_spans(
+        df, "doc_id", "text", span_tokens=SPAN, winnow_window=WINDOW,
+        max_fp_occurrences=None,
+    )
+    kept = [r for r in uncapped.collect() if BLOCK in (r["text"] or "")]
+    assert len(kept) == 1
 
 
 def test_pipeline_cleaned_stage(spark, tmp_path):
