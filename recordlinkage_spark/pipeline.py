@@ -283,6 +283,9 @@ class DedupPipeline:
                     records, id_col, text_col,
                     span_tokens=cfg.span_tokens,
                     winnow_window=cfg.winnow_window,
+                    # same skew policy knob as the pair passes: a span in
+                    # more docs than a bucket would hold is boilerplate
+                    max_fp_occurrences=cfg.max_bucket_size,
                 ),
             )
         if quality_col is not None:
