@@ -576,6 +576,59 @@ def q_canonical_url(spark, sf):
     )
 
 
+def q_url_dedup_keep_latest(spark, sf):
+    """Exact URL-level recrawl dedup (webtext.dedup_url_keep_latest):
+    each document is exploded into 1-3 deterministic 'crawls' of the same
+    page — the raw url varies per crawl (case / default-port / trailing-
+    slash noise that canonical_url collapses), warc_ts strictly increases
+    per crawl — and the operator must keep exactly the newest crawl per
+    canonical url, with n_crawls counting what collapsed. This is the
+    first pass of every Common-Crawl pipeline (collapse monthly recrawls
+    by url before any content dedup; CCNet §2, RefinedWeb §3.1).
+
+    Scale shape: ONE hash aggregate — groupBy(canonical key).agg(
+    max(struct), count) — map-side combinable, no window sort, so the
+    shuffle carries ~|distinct urls| rows at 10^12-row scale
+    (plan-asserted in tests/test_webtext.py). Oracle: an independent
+    DuckDB implementation via row_number() over the same synthesized
+    crawl table with the closed-form canonical key."""
+    from recordlinkage_spark import webtext
+
+    docs = _t(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    crawled = docs.select(
+        "doc_id", "text", "lang",
+        F.explode(
+            F.sequence(F.lit(1), (doc_id % 3 + 1).cast("int"))
+        ).alias("crawl"),
+    )
+    crawl = F.col("crawl")
+    url = F.concat(
+        F.when(crawl % 2 == 0, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://WWW.")),
+        F.lit("site"), (doc_id % 50).cast("string"), F.lit(".example.com"),
+        F.when(crawl % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"), doc_id.cast("string"),
+        F.when(crawl % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    frame = crawled.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + doc_id * 17 + crawl * 86400
+        ).alias("warc_ts"),
+        F.concat(
+            F.col("text"), F.lit(" [crawl "), crawl.cast("string"), F.lit("]")
+        ).alias("text"),
+        "lang",
+    )
+    out = webtext.dedup_url_keep_latest(frame)
+    return out.select(
+        "url_key", "n_crawls", "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_epoch"),
+        "text", "lang",
+    )
+
+
 def _chunk_lines(text_col, k: int = 8):
     """documents.text has no newlines; chunk into k-token pseudo-lines
     (identical chunking in the DuckDB oracles)."""
@@ -1335,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "canonical_url": q_canonical_url,
+        "url_dedup_keep_latest": q_url_dedup_keep_latest,
         "line_dedup": q_line_dedup,
         "dedup_lines_within_doc": q_dedup_lines_within_doc,
         "gopher_quality": q_gopher_quality,
@@ -1824,6 +1878,43 @@ def oracle_sql() -> dict[str, str]:
               sh2 || path
                 || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canon
             FROM norm
+        """,
+        # independent keep-latest oracle: row_number window (vs Spark's
+        # map-side-combinable max(struct) aggregate) over the same
+        # synthesized crawl table; the canonical key is closed-form by
+        # construction (canonicalization itself is oracle-verified by
+        # the canonical_url query)
+        "url_dedup_keep_latest": r"""
+            WITH crawls AS (
+              SELECT doc_id, text, lang,
+                unnest(range(1, doc_id % 3 + 2)) AS crawl
+              FROM documents
+            ),
+            rows_ AS (
+              SELECT
+                'https://site' || (doc_id % 50) || '.example.com/doc/'
+                  || doc_id AS url_key,
+                (CASE WHEN crawl % 2 = 0 THEN 'https://'
+                      ELSE 'HTTPS://WWW.' END)
+                  || 'site' || (doc_id % 50) || '.example.com'
+                  || (CASE WHEN crawl % 3 = 0 THEN ':443' ELSE '' END)
+                  || '/doc/' || doc_id
+                  || (CASE WHEN crawl % 2 = 1 THEN '/' ELSE '' END) AS url,
+                1700000000 + doc_id * 17 + crawl * 86400 AS warc_epoch,
+                text || ' [crawl ' || crawl || ']' AS text,
+                lang
+              FROM crawls
+            )
+            SELECT url_key, n_crawls, url, warc_epoch, text, lang
+            FROM (
+              SELECT *,
+                count(*) OVER (PARTITION BY url_key) AS n_crawls,
+                row_number() OVER (
+                  PARTITION BY url_key ORDER BY warc_epoch DESC
+                ) AS rn
+              FROM rows_
+            )
+            WHERE rn = 1
         """,
         # independent CCNet line-dedup oracle: window-free groupBy over the
         # normalized line, string_agg reassembly ORDER BY pos

@@ -702,3 +702,68 @@ def filter_urls(
     if reason_col is None:
         out = out.filter(F.col("_url_block").isNull()).drop("_url_block")
     return out
+
+
+def dedup_url_keep_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
+    key_col: str = "url_key",
+) -> DataFrame:
+    """Exact URL-level recrawl dedup: keep ONE row per (canonical) url —
+    the newest ``ts_col`` — the first dedup pass of every Common-Crawl
+    pipeline (each monthly crawl re-fetches most pages; CCNet and
+    RefinedWeb both collapse recrawls by url before any content pass).
+    Extends the reference's exact-key family (``Exact`` compare /
+    hash-groupBy dedup) to the survivorship policy web corpora need:
+    not "any representative" but "the latest crawl".
+
+    Output: one row per key with columns ``(key_col, n_crawls, *df.columns)``
+    — the full surviving row plus how many crawls collapsed into it.
+
+    Determinism contract: the winner is the lexicographic MAX of the
+    struct ``(ts, <non-binary columns in df order>, <binary columns>)``,
+    so exact ``ts`` ties resolve on the remaining fields — same input,
+    same winner, on every run, partitioning, and cluster size (never
+    first-seen order). Null ``ts`` sorts lowest: a dated crawl always
+    beats an undated one; an all-null-ts group falls through to the
+    field tiebreak.
+
+    Scale design (100 TB): ONE hash aggregate — ``groupBy(key).agg(max(
+    struct), count(*))``. Map-side partial aggregation keeps one candidate
+    row per key per map task before the exchange, so the shuffle carries
+    ~|distinct urls| rows, not the corpus; a window ``row_number`` over
+    url would instead shuffle AND sort every row. Canonicalization
+    (``canonical_url``) fuses into the scan projection — no Python, no
+    extra pass. Hot keys cannot skew it: partial aggregation collapses
+    any url's recrawls to one row per upstream partition before the
+    exchange.
+    """
+    key_expr = (
+        canonical_url(F.col(url_col)) if canonicalize else
+        F.col(url_col).cast("string")
+    )
+    dtypes = dict(df.dtypes)
+    payload = list(df.columns)
+    # comparison order: ts first, then cheap/cross-engine-orderable fields,
+    # binary last — ties resolve before any byte-wise blob comparison
+    cmp_order = [c for c in payload if dtypes[c] != "binary"] + [
+        c for c in payload if dtypes[c] == "binary"
+    ]
+    pick = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(c) for c in cmp_order],
+    )
+    agg = (
+        df.select(key_expr.alias(key_col), pick.alias("_pick"))
+        .groupBy(key_col)
+        .agg(
+            F.max("_pick").alias("_pick"),
+            F.count("*").cast("long").alias("n_crawls"),
+        )
+    )
+    return agg.select(
+        key_col, "n_crawls",
+        *[F.col("_pick")[c].alias(c) for c in payload],
+    )

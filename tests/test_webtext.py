@@ -541,3 +541,78 @@ class TestDedupLinesWithinDoc:
         # line element (4 output columns, each plan-printed expression
         # may inline the split into zip_with's two arguments)
         assert plan.count("split(") <= 3 * 4
+
+
+class TestDedupUrlKeepLatest:
+    def test_collapses_canonical_variants_keeps_newest(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("HTTPS://WWW.A.com:443/x", dt.datetime(2024, 1, 1), "v1"),
+            ("https://a.com/x", dt.datetime(2024, 3, 1), "v3"),
+            ("https://a.com/x/", dt.datetime(2024, 2, 1), "v2"),
+            ("http://b.com/y", dt.datetime(2024, 1, 1), "only"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        out = webtext.dedup_url_keep_latest(df).orderBy("url_key").collect()
+        assert [(r["url_key"], r["n_crawls"], r["text"]) for r in out] == [
+            ("http://b.com/y", 1, "only"),
+            ("https://a.com/x", 3, "v3"),
+        ]
+        # survivor carries its RAW row, not the canonical key
+        assert out[1]["url"] == "https://a.com/x"
+        assert out[1]["warc_ts"] == dt.datetime(2024, 3, 1)
+
+    def test_ts_tie_breaks_lexicographically_null_ts_loses(self, spark):
+        import datetime as dt
+
+        ts = dt.datetime(2024, 6, 1)
+        rows = [
+            ("https://a.com/x", ts, "bbb"),
+            ("https://a.com/x", ts, "aaa"),
+            ("https://a.com/x", None, "zzz"),  # dated crawls always win
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        out = webtext.dedup_url_keep_latest(df).collect()
+        assert len(out) == 1
+        assert out[0]["n_crawls"] == 3
+        assert out[0]["text"] == "bbb"  # max over the tied-ts field chain
+
+    def test_partitioning_invariance(self, spark):
+        import datetime as dt
+
+        rows = [
+            (f"https://s{i % 5}.com/p{i % 17}",
+             dt.datetime(2024, 1, 1 + i % 28), f"t{i}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        a = sorted(map(tuple, webtext.dedup_url_keep_latest(
+            df.repartition(1)).collect()))
+        b = sorted(map(tuple, webtext.dedup_url_keep_latest(
+            df.repartition(7)).collect()))
+        assert a == b
+
+    def test_plan_is_one_hash_aggregate_no_window(self, spark):
+        """Scale contract: the pass must be groupBy+max(struct) (map-side
+        combinable partial aggregation), never a row_number window that
+        shuffles and sorts every crawl row."""
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("https://a.com/x", dt.datetime(2024, 1, 1), "t")],
+            "url string, warc_ts timestamp, text string",
+        )
+        plan = (
+            webtext.dedup_url_keep_latest(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        # partial + final aggregate pair, one exchange between them
+        assert plan.count("Exchange") == 1
