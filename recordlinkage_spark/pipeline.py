@@ -12,7 +12,8 @@ north_rule requirements implemented here:
 
 Stage graph:
 
-  records --MinHashLSH--> candidates --(∪ FingerprintSubstring)--> pairs
+  records --(opt. keep-latest recrawl collapse, ts_col=...)--> collapsed
+          --MinHashLSH--> candidates --(∪ FingerprintSubstring)--> pairs
           --exact-Jaccard verify--> matches --ConnectedComponents--> clusters
 """
 
@@ -151,6 +152,8 @@ class DedupPipeline:
         id_col: str = "url",
         text_col: str = "text",
         quality_col: str | None = None,
+        ts_col: str | None = None,
+        canonicalize_urls: bool = True,
     ) -> dict[str, DataFrame]:
         """Returns {'pairs': ..., 'matches': ..., 'clusters': ...}; with
         ``remove_spans=True``, also ``'cleaned'`` — the records with
@@ -160,12 +163,41 @@ class DedupPipeline:
         ``(id, cluster_id, keep)`` from ``network.select_representatives``
         ordered by quality descending (best-quality doc per duplicate
         cluster instead of the arbitrary min-id default; singletons keep
-        with ``cluster_id`` = own id)."""
+        with ``cluster_id`` = own id).
+
+        ``ts_col`` (e.g. ``"warc_ts"``) turns on the recrawl-collapse
+        pre-stage every Common-Crawl pipeline runs first: records are
+        collapsed to ONE row per canonical url — the newest ``ts_col``
+        crawl (``webtext.dedup_url_keep_latest``, one map-side-combinable
+        hash aggregate) — before any content pass, and every downstream
+        stage keys on the CANONICAL url. Adds ``'collapsed'`` to the
+        output (survivor rows + ``n_crawls``), checkpointed/resumable
+        like every other stage. ``canonicalize_urls=False`` collapses on
+        the raw url instead."""
         from recordlinkage_spark.minhash import bucket_pairs, exact_jaccard, make_signature_udf
 
         spark = records.sparkSession
         self._load_manifest()
         cfg = self.config
+
+        out_extra: dict[str, DataFrame] = {}
+        if ts_col is not None:
+            from recordlinkage_spark.webtext import dedup_url_keep_latest
+
+            collapsed = self._stage(
+                spark, "recrawls",
+                lambda: dedup_url_keep_latest(
+                    records, url_col=id_col, ts_col=ts_col,
+                    canonicalize=canonicalize_urls,
+                ),
+            )
+            out_extra["collapsed"] = collapsed
+            # downstream identity is the CANONICAL url; the surviving raw
+            # url (and its crawl count) stay available in out['collapsed']
+            keep_cols = [c for c in records.columns if c != id_col]
+            records = collapsed.select(
+                F.col("url_key").alias(id_col), *keep_cols
+            )
         id_type = records.schema[id_col].dataType.simpleString()
 
         # ONE tokenize+hash pass computes all three per-doc signatures
@@ -265,6 +297,7 @@ class DedupPipeline:
             ),
         )
         out = {"pairs": pairs, "matches": matches, "clusters": clusters}
+        out.update(out_extra)
         if self.remove_spans:
             # ExactSubstr span removal (suffix.remove_duplicate_spans):
             # rewrites the TEXT, complementing the doc-level cluster/keep

@@ -136,6 +136,40 @@ def test_pipeline_resume(corpus, tmp_path):
         assert entry["snapshot_id"] is None
 
 
+def test_pipeline_recrawl_collapse(corpus, tmp_path):
+    """ts_col turns on the keep-latest recrawl pre-stage: two crawls per
+    url — the OLD one deliberately garbage — must collapse to the newest
+    before any content pass, leaving end-to-end recall intact and the
+    'recrawls' stage first in the metrics."""
+    docs, truth = corpus
+    crawls = docs.select(
+        "url",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("crawl"),
+        "text",
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("crawl") * 3600
+        ).alias("warc_ts"),
+        F.when(F.col("crawl") == 2, F.col("text"))
+        .otherwise(F.concat(F.lit("OLD STALE PAGE "), F.reverse(F.col("text"))))
+        .alias("text"),
+    )
+    cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3)
+    pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+    out = pipe.run(crawls, id_col="url", text_col="text",
+                   ts_col="warc_ts", canonicalize_urls=False)
+    collapsed = out["collapsed"]
+    assert collapsed.count() == docs.count()
+    assert collapsed.agg(F.max("n_crawls")).first()[0] == 2
+    # only the newest crawl survived, so content recall matches the
+    # single-crawl pipeline gate
+    t = _pair_truth(truth, ["exact", "near"])
+    rec = measures.cluster_pair_recall(t, out["clusters"], id_col="url")
+    assert rec >= 0.99
+    assert [m["stage"] for m in pipe.metrics][0] == "recrawls"
+
+
 def test_empty_docs_excluded_from_signatures(spark):
     """Empty/whitespace-only docs must not pair with each other (they'd
     otherwise share gram [0] and cluster as jaccard-1.0 'duplicates')."""
