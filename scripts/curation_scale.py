@@ -133,6 +133,24 @@ def main() -> None:
         rows = out.groupBy("why").count().collect()
         return {"by_reason": {str(r["why"]): int(r["count"]) for r in rows}}
 
+    def run_url_recrawl_dedup():
+        # two crawls per doc (2x the corpus as input rows): keep-latest
+        # must collapse back to n_docs via ONE map-side-combinable hash
+        # aggregate on the canonical url, carrying the full text payload.
+        crawls = docs.select(
+            "doc_id", "url", "text",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("crawl"),
+        ).withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.lit(1700000000) + d + F.col("crawl") * 3600
+            ),
+        )
+        out = webtext.dedup_url_keep_latest(crawls)
+        row = out.agg(F.count("*").alias("n"),
+                      F.sum("n_crawls").alias("c")).collect()[0]
+        return {"kept": int(row["n"]), "collapsed_from": int(row["c"])}
+
     def run_corpus_stats():
         row = textfns.corpus_stats(docs, "text").collect()[0]
         return {"exact_dup_rate": float(row["exact_dup_rate"]),
@@ -217,6 +235,7 @@ def main() -> None:
                 "cut_tokens": int(row["t"] or 0)}
 
     run("filter_urls", run_filter_urls)
+    run("url_recrawl_dedup", run_url_recrawl_dedup)
     run("span_removal", run_span_removal)
     run("dedup_lines_in_doc", run_dedup_lines_in_doc)
     run("corpus_stats", run_corpus_stats)
