@@ -314,6 +314,27 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def q_incremental_dedup_bloom(spark, sf):
+    """Bloom-filter incremental exact dedup (bloom.dedup_against): a
+    simulated NEW snapshot — every even-doc_id text, half verbatim
+    recrawls (dups), half edited (' [r4]' suffix, unique) — filtered
+    against the full documents corpus as the pre-existing store. Exact
+    mode == SQL NOT EXISTS on text: only the edited docs survive. The
+    corpus is scanned (bloom build + rescue semi-join) but never
+    shuffled; bloom-negative rows pass with no join at all."""
+    from recordlinkage_spark.bloom import dedup_against
+
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" [r4]")))
+        .alias("text"),
+    )
+    out = dedup_against(new, docs.select("text"), "text", fpp=0.01)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_exact_dup_groups(spark, sf):
     from recordlinkage_spark import textfns
 
@@ -1375,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text analysis
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
+        "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "dedup_keep_best": q_dedup_keep_best,
         "cluster_size_stats": q_cluster_size_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1694,6 +1716,17 @@ def oracle_sql() -> dict[str, str]:
                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
                   FROM documents)
             GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "incremental_dedup_bloom": """
+            WITH new AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN text
+                          ELSE text || ' [r4]' END AS text
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT n.doc_id, md5(n.text) AS text_md5
+            FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = n.text)
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE sh AS ({_SH3}),

@@ -43,6 +43,7 @@ from recordlinkage_spark.network import (
     OneToOneLinking,
 )
 from recordlinkage_spark import measures
+from recordlinkage_spark.bloom import BloomFilter, build_bloom, dedup_against
 from recordlinkage_spark.pipeline import DedupPipeline
 
 __version__ = "0.1.0"
@@ -70,4 +71,7 @@ __all__ = [
     "ConnectedComponents",
     "measures",
     "DedupPipeline",
+    "BloomFilter",
+    "build_bloom",
+    "dedup_against",
 ]
