@@ -18,11 +18,14 @@ BENCH/CURATION_SCALE.json:
   - cap_per_group: at most 1000 docs per synthesized host (97 hosts ->
     every group is a mega-group; exercises the partial WindowGroupLimit)
   - pack_sequences: 2048-token packs over 256 shards (ONE exchange)
+  - bloom_dedup: incremental dedup of a simulated 1M-row new snapshot
+    (half verbatim recrawls, half edited) against the 2M-doc corpus on
+    md5 fingerprints — bloom build scan + broadcast probe + exact rescue
 
 Each op reports wall seconds and docs/sec plus a self-describing
 aggregate. Usage:
 
-  python scripts/curation_scale.py [slots]
+  python scripts/curation_scale.py [slots] [op1,op2,...]
 """
 
 from __future__ import annotations
@@ -234,15 +237,47 @@ def main() -> None:
         return {"affected_docs": int(row["d"] or 0),
                 "cut_tokens": int(row["t"] or 0)}
 
-    run("filter_urls", run_filter_urls)
-    run("url_recrawl_dedup", run_url_recrawl_dedup)
-    run("span_removal", run_span_removal)
-    run("dedup_lines_in_doc", run_dedup_lines_in_doc)
-    run("corpus_stats", run_corpus_stats)
-    run("unigram_logprob", run_unigram_logprob)
-    run("select_by_budget", run_select_by_budget)
-    run("cap_per_group", run_cap_per_group)
-    run("pack_sequences", run_pack_sequences)
+    def run_bloom_dedup():
+        # incremental dedup of a simulated NEW snapshot (half the corpus:
+        # one quarter verbatim recrawls, one quarter edited) against the
+        # full 2M-doc corpus. Keys are md5 fingerprints (the realistic
+        # key at scale — a raw-text key would make the rescue broadcast
+        # carry full documents). Timed work = fingerprinting 3M rows
+        # JVM-side + bloom build scan + probe + exact rescue.
+        from recordlinkage_spark.bloom import dedup_against
+
+        new = docs.filter(d % 4 < 2).select(
+            (d + 10_000_000).alias("doc_id"),
+            F.md5(
+                F.when(d % 4 == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(" r4")))
+            ).alias("fp"),
+        )
+        n_new = new.count()
+        out = dedup_against(
+            new, docs.select(F.md5("text").alias("fp")), "fp",
+            expected_items=n_docs, fpp=0.01,
+        )
+        kept = out.count()
+        return {"new_rows": int(n_new), "survivors": int(kept),
+                "dropped_as_dup": int(n_new - kept)}
+
+    all_ops = [
+        ("filter_urls", run_filter_urls),
+        ("url_recrawl_dedup", run_url_recrawl_dedup),
+        ("bloom_dedup", run_bloom_dedup),
+        ("span_removal", run_span_removal),
+        ("dedup_lines_in_doc", run_dedup_lines_in_doc),
+        ("corpus_stats", run_corpus_stats),
+        ("unigram_logprob", run_unigram_logprob),
+        ("select_by_budget", run_select_by_budget),
+        ("cap_per_group", run_cap_per_group),
+        ("pack_sequences", run_pack_sequences),
+    ]
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    for name, fn in all_ops:
+        if only is None or name in only:
+            run(name, fn)
     spark.stop()
     post = probe()
     # bench.py protocol: a post-probe right after spark.stop() can catch
@@ -265,6 +300,7 @@ def main() -> None:
         # scan-side parallelism at 6 tasks and flattens the cheap ops
 
         "ops": results,
+        "ops_filter": sorted(only) if only else None,
         "probe_pre": pre,
         "probe_post": post,
         "probe_post_retry": post_retry,
