@@ -15,10 +15,14 @@ and the new crawl is the small side):
 1. fingerprint — ``F.xxhash64`` over the key columns, pure JVM.
 2. BUILD — one ``mapInPandas`` pass over the corpus: each partition ORs
    its fingerprints into a local m-bit numpy bitmap and emits only its
-   NON-ZERO 4 MiB chunks; the driver streams them via
-   ``toLocalIterator`` and ORs into one bitmap. Corpus is scanned once,
-   never shuffled; driver memory = one bitmap + one chunk; network =
-   at most n_partitions * m/8 bytes (less — empty chunks are skipped).
+   NON-ZERO 4 MiB chunks. The chunks are OR-reduced executor-side
+   (shuffle on chunk_id — at most n_partitions * m/8 bytes on the wire,
+   less because empty chunks are skipped), so the corpus scan runs with
+   FULL parallelism in one job; the driver then streams the <= n_chunks
+   reduced rows and holds one bitmap + one chunk. (A driver-side
+   ``toLocalIterator`` over the raw partials — the obvious shape —
+   executes one partition per job, serializing the entire corpus scan;
+   measured 0.45 scaling efficiency at 2->8 slots before the reduce.)
 3. PROBE — the bitmap is broadcast; one vectorized pandas-UDF pass tags
    each new row. Bloom-NEGATIVE rows are *definitely* absent from the
    corpus (a Bloom filter has no false negatives) and pass through with
@@ -140,8 +144,9 @@ def build_bloom(
 
     One distributed scan (plus one ``count()`` when ``expected_items`` is
     not given — pass it to keep the corpus single-scan). Per-partition
-    bitmaps are ORed map-side and streamed to the driver in non-zero
-    4 MiB chunks, so the corpus never shuffles and driver memory stays at
+    bitmaps are chunked map-side, OR-reduced executor-side on chunk_id,
+    and only the <= n_chunks reduced rows (m/8 bytes total) reach the
+    driver — the corpus itself never shuffles and driver memory stays at
     one bitmap regardless of partition count.
     """
     fps = corpus.select(_fingerprint(keys).alias("_fp"))
@@ -178,11 +183,34 @@ def build_bloom(
                     {"chunk_id": [cid], "bits": [chunk.tobytes()]}
                 )
 
+    def or_partials(batches):
+        # executor-side OR-reduce after the chunk_id shuffle: incremental
+        # over Arrow batches, so task memory = (chunks in this reducer)
+        # * chunk size ~= m_bytes / n_reducers, never the full group.
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for cid, raw in zip(pdf["chunk_id"].to_numpy(), pdf["bits"]):
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                buf = acc.get(int(cid))
+                if buf is None:
+                    acc[int(cid)] = arr.copy()
+                else:
+                    np.bitwise_or(buf, arr, out=buf)
+        for cid, buf in acc.items():
+            yield pd.DataFrame({"chunk_id": [cid], "bits": [buf.tobytes()]})
+
     parts = fps.mapInPandas(build_partial, "chunk_id int, bits binary")
+    sc = corpus.sparkSession.sparkContext
+    n_red = max(1, min(n_chunks, sc.defaultParallelism))
+    reduced = parts.repartition(n_red, "chunk_id").mapInPandas(
+        or_partials, "chunk_id int, bits binary"
+    )
     agg = np.zeros(m_bytes, dtype=np.uint8)
-    # toLocalIterator streams partition results one at a time — the driver
-    # never holds more than the aggregate bitmap + one chunk row.
-    for row in parts.toLocalIterator():
+    # The first toLocalIterator job materializes the shuffle, which runs
+    # every corpus-scan map task IN PARALLEL; the remaining <= n_red - 1
+    # jobs reuse the shuffle files (skipped stages). Driver never holds
+    # more than the aggregate bitmap + one reduced chunk row.
+    for row in reduced.toLocalIterator():
         off = row["chunk_id"] * _CHUNK_BYTES
         chunk = np.frombuffer(row["bits"], dtype=np.uint8)
         np.bitwise_or(agg[off:off + len(chunk)], chunk,
