@@ -1,0 +1,114 @@
+"""End-to-end incremental snapshot ingest — the composition contract of
+the incremental tiers over a NEW crawl against an existing corpus:
+
+  1. within-snapshot recrawl collapse    webtext.dedup_url_keep_latest
+  2. exact dedup vs the corpus           bloom.dedup_against (NOT EXISTS,
+                                         corpus never shuffles)
+  3. near-dup vs the corpus's persisted
+     LSH signature store                 MinHashLSH.candidate_pairs_against
+  4. cluster assignment                  network.ConnectedComponents
+
+Each tier is unit-gated in its own file (test_webtext / test_bloom /
+test_dedup_passes / test_network); this test gates the SEAMS: the column
+contracts compose, survivors flow tier to tier, and the final clusters
+link edited recrawls to their corpus originals while verbatim recrawls
+never reach the pairwise tier at all.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recordlinkage_spark.bloom import dedup_against
+from recordlinkage_spark.minhash import MinHashLSH
+from recordlinkage_spark.network import ConnectedComponents
+from recordlinkage_spark.webtext import dedup_url_keep_latest
+
+WORDS = [f"w{i:03d}" for i in range(400)]
+
+
+def _text(i: int, n: int = 60) -> str:
+    rng = np.random.RandomState(1000 + i)
+    return " ".join(WORDS[j] for j in rng.randint(0, len(WORDS), n))
+
+
+def _near(i: int) -> str:
+    """Two-token edit of original i — well above jaccard 0.5 on 3-shingles."""
+    toks = _text(i).split()
+    toks[5] = "edited"
+    toks[30] = "tokens"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus_rows = [
+        (f"http://site{i}.com/a", 1_700_000_000 + i, _text(i)) for i in range(40)
+    ]
+    new_rows = []
+    # A: verbatim recrawls of corpus docs 0..9 (same url + same text,
+    #    newer warc_ts) — must die at the bloom tier, never pairing
+    for i in range(10):
+        new_rows.append((f"http://site{i}.com/a", 1_700_100_000 + i, _text(i)))
+    # B: one url fetched TWICE within the snapshot — the older fetch is
+    #    junk, the newest is an edited near-dup of corpus doc 20 (content
+    #    syndicated across sites); keep-latest must keep only the newest
+    new_rows.append(("http://site10.com/a", 1_700_100_000, "stale junk page"))
+    new_rows.append(("http://site10.com/a", 1_700_100_500, _near(20)))
+    # C: edited near-dups of corpus docs 11..15 at brand-new urls —
+    #    survive bloom, link to their originals at the LSH tier
+    for i in range(11, 16):
+        new_rows.append((f"http://new{i}.com/b", 1_700_100_000 + i, _near(i)))
+    # D: genuinely new pages — survive every tier, cluster as singletons
+    for i in range(100, 110):
+        new_rows.append((f"http://fresh{i}.com/c", 1_700_100_000 + i, _text(i)))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts long, text string"
+        ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "text")
+
+    return mk(corpus_rows).cache(), mk(new_rows).cache()
+
+
+def test_incremental_snapshot_flow(spark, frames):
+    corpus, new = frames
+
+    # tier 1: collapse within-snapshot recrawls (newest warc_ts per url)
+    collapsed = dedup_url_keep_latest(new, "url", "warc_ts")
+    assert collapsed.count() == 26  # 10 A + 1 B + 5 C + 10 D
+    b_rows = collapsed.filter(F.col("url") == "http://site10.com/a").collect()
+    assert len(b_rows) == 1 and b_rows[0]["n_crawls"] == 2
+    assert "stale" not in b_rows[0]["text"]
+    snap = collapsed.select("url", "warc_ts", "text")
+
+    # tier 2: bloom exact dedup against the corpus — verbatim recrawls drop
+    survivors = dedup_against(snap, corpus.select("text"), "text", fpp=0.01)
+    got_urls = {r["url"] for r in survivors.collect()}
+    assert got_urls == (
+        {"http://site10.com/a"}
+        | {f"http://new{i}.com/b" for i in range(11, 16)}
+        | {f"http://fresh{i}.com/c" for i in range(100, 110)}
+    )
+
+    # tier 3: near-dup candidates vs the corpus's persisted signature store
+    lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
+    store = lsh.bands_table(corpus, "url", "text")
+    pairs = lsh.candidate_pairs_against(survivors, store, "url", "text")
+    got_pairs = {
+        tuple(sorted((r["id_1"], r["id_2"]))) for r in pairs.collect()
+    }
+    want_pairs = {
+        tuple(sorted((f"http://new{i}.com/b", f"http://site{i}.com/a")))
+        for i in range(11, 16)
+    } | {("http://site10.com/a", "http://site20.com/a")}
+    assert got_pairs == want_pairs
+
+    # tier 4: clusters — every edited doc lands with exactly its original
+    comp = ConnectedComponents().compute(pairs.select("id_1", "id_2"))
+    cmap = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    for i in range(11, 16):
+        assert cmap[f"http://new{i}.com/b"] == cmap[f"http://site{i}.com/a"]
+    assert cmap["http://site10.com/a"] == cmap["http://site20.com/a"]
+    # D docs never pair: absent from the component table (singletons)
+    assert not any("fresh" in k for k in cmap)
