@@ -41,6 +41,34 @@ def test_np_kernel_no_false_negatives_and_fpp():
     assert fpr <= 2 * 0.01, fpr
 
 
+def test_hypothesis_bloom_kernel_properties():
+    """Adversarial int64 key sets (hypothesis shrinks to boundary values
+    like -2^63, 0, duplicates): (a) no false negatives ever; (b) adding
+    in arbitrary chunks ORs to the same bitmap as adding at once — the
+    numpy-level form of partition independence the Spark build relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=200,
+    )
+
+    @given(ints, st.integers(min_value=1, max_value=7))
+    @settings(max_examples=60, deadline=None)
+    def check(keys, n_chunks):
+        arr = np.array(keys, dtype=np.int64)
+        whole = _bf(n=len(keys), fpp=0.05)
+        whole.add_np(arr)
+        assert whole.might_contain_np(arr).all()
+        parts = _bf(n=len(keys), fpp=0.05)
+        for part in np.array_split(arr, min(n_chunks, len(arr))):
+            parts.add_np(part)
+        assert np.array_equal(whole.bitmap, parts.bitmap)
+
+    check()
+
+
 def test_sizing_monotone_and_guard():
     m1, _ = bloom._sizing(1000, 0.01)
     m2, _ = bloom._sizing(1000, 0.001)
