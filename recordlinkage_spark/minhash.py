@@ -368,6 +368,48 @@ def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
     return pairs.dropDuplicates(["id_1", "id_2"])
 
 
+def pairs_against_bands(
+    new_bands: DataFrame,
+    store_bands: DataFrame,
+    id_type: str,
+    max_bucket_size: int,
+    dropped_acc=None,
+) -> DataFrame:
+    """Batch-vs-store pair expansion over compact ``(id, band_key)``
+    frames: within-batch pairs via the capped streaming expander, plus
+    new-vs-store pairs via the touched-key capped join — the store is
+    semi-joined to the batch's distinct keys first, so it never shuffles
+    in full (partition-pruned when the store is bucketed on band_key).
+    Store keys whose touched-row count exceeds ``max_bucket_size`` are
+    dropped (boilerplate protection). Key-column dtype is caller's
+    choice — the LSH path uses 32-bit int band keys, the winnowing path
+    64-bit fingerprints renamed to ``band_key``.
+
+    Core of :meth:`MinHashLSH.candidate_pairs_against`, also driven by
+    ``DedupPipeline.run_incremental`` directly over persisted signature
+    stages (no re-signing of the store). Returns distinct canonical
+    (id_1 > id_2) pairs where at least one side is a new id.
+    """
+    within = bucket_pairs(
+        new_bands, ["band_key"], max_bucket_size, id_type,
+        dropped_acc=dropped_acc,
+    )
+    touched = store_bands.join(new_bands.select("band_key").distinct(), "band_key")
+    sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
+    kept_keys = sizes.filter(F.col("_n") <= max_bucket_size)
+    hits = touched.join(kept_keys.select("band_key"), "band_key")
+    cross = (
+        new_bands.select("band_key", F.col("id").alias("_nid"))
+        .join(hits.select("band_key", F.col("id").alias("_sid")), "band_key")
+        .filter(F.col("_nid") != F.col("_sid"))
+        .select(
+            F.greatest("_nid", "_sid").alias("id_1"),
+            F.least("_nid", "_sid").alias("id_2"),
+        )
+    )
+    return within.unionByName(cross).dropDuplicates(["id_1", "id_2"])
+
+
 def exact_jaccard(
     cands: DataFrame,
     sh: DataFrame,
@@ -655,29 +697,15 @@ class MinHashLSH:
             "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
         )
         id_type = new_df.schema[id_col].dataType.simpleString()
-        within = bucket_pairs(
-            new_bands, ["band_key"], self.max_bucket_size, id_type,
-            dropped_acc=dropped_acc,
-        )
         store = store_bands
         if "band_key" not in store.columns:
             store = store.select(
                 "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
             )
-        touched = store.join(new_bands.select("band_key").distinct(), "band_key")
-        sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
-        kept_keys = sizes.filter(F.col("_n") <= self.max_bucket_size)
-        hits = touched.join(kept_keys.select("band_key"), "band_key")
-        cross = (
-            new_bands.select("band_key", F.col("id").alias("_nid"))
-            .join(hits.select("band_key", F.col("id").alias("_sid")), "band_key")
-            .filter(F.col("_nid") != F.col("_sid"))
-            .select(
-                F.greatest("_nid", "_sid").alias("id_1"),
-                F.least("_nid", "_sid").alias("id_2"),
-            )
+        return pairs_against_bands(
+            new_bands, store, id_type, self.max_bucket_size,
+            dropped_acc=dropped_acc,
         )
-        return within.unionByName(cross).dropDuplicates(["id_1", "id_2"])
 
     def verified_pairs(
         self,

@@ -337,3 +337,193 @@ class DedupPipeline:
                 ),
             )
         return out
+
+    # --- incremental snapshot ingest -------------------------------------
+    def run_incremental(
+        self,
+        new_records: DataFrame,
+        prior_signatures: DataFrame,
+        prior_clusters: DataFrame | None = None,
+        id_col: str = "url",
+        text_col: str = "text",
+        ts_col: str | None = None,
+        canonicalize_urls: bool = True,
+        exact_dedup_against: DataFrame | None = None,
+        exact_keys=None,
+    ) -> dict[str, DataFrame]:
+        """Dedup a NEW crawl snapshot against a prior :meth:`run`'s
+        outputs WITHOUT re-pairing the corpus against itself — the
+        operational flow at 10^12-doc scale, where every monthly
+        snapshot is small next to the corpus.
+
+        Inputs from the prior run: ``prior_signatures`` is its persisted
+        ``signatures`` stage table (``(id, bands, fps, sh)`` — the
+        manifest records its path; at scale an Iceberg table bucketed on
+        the band key), and ``prior_clusters`` its ``clusters`` output.
+        The corpus is touched only through them: band/fingerprint stores
+        are semi-joined to the batch's touched keys
+        (``minhash.pairs_against_bands`` — partition-prunable, capped),
+        and the verify gather reads only candidate ids' shingle sets.
+        Nothing re-signs, re-pairs, or shuffles the corpus in full.
+
+        Tiers (each optional, each a checkpointed ``inc_*`` stage under
+        ``work_dir`` — resumable like :meth:`run`; use a FRESH work_dir
+        per snapshot, the base run's manifest stays untouched):
+
+        1. ``ts_col`` — within-snapshot recrawl collapse (keep-latest).
+        2. ``exact_dedup_against`` (a key frame, e.g.
+           ``corpus.select("text")``) — Bloom-filter exact dedup of the
+           batch against the corpus (``bloom.dedup_against``; keys
+           default to ``[text_col]``, override with ``exact_keys``).
+        3. LSH + winnowing candidates of the survivors: within-batch
+           plus batch-vs-store, exact-Jaccard verify at the run's
+           threshold, substring pairs union — same semantics as
+           :meth:`run` restricted to pairs touching a new doc.
+        4. Clusters: connected components over prior cluster
+           assignments (as edges) ∪ new matches.
+
+        Contract — supersede and merge-only: a new id already present in
+        ``prior_signatures`` is an UPDATED document; its stored
+        signature is anti-joined out so stale content never pairs
+        (prior cluster edges still hold its old links — incremental
+        clustering merges but never splits; re-run :meth:`run` to
+        re-split after deletions/updates). With disjoint id spaces and
+        no caps hit, ``clusters`` equals the full-batch :meth:`run` over
+        old ∪ new bit-for-bit (gated in tests/test_incremental_flow.py).
+
+        Returns ``{'pairs', 'matches', 'clusters'}`` plus
+        ``'collapsed'`` / ``'new_unique'`` when tiers 1 / 2 ran.
+        """
+        from recordlinkage_spark.minhash import (
+            exact_jaccard, make_signature_udf, pairs_against_bands)
+
+        spark = new_records.sparkSession
+        self._load_manifest()
+        cfg = self.config
+
+        out: dict[str, DataFrame] = {}
+        records = new_records
+        if ts_col is not None:
+            from recordlinkage_spark.webtext import dedup_url_keep_latest
+
+            collapsed = self._stage(
+                spark, "inc_recrawls",
+                lambda: dedup_url_keep_latest(
+                    records, url_col=id_col, ts_col=ts_col,
+                    canonicalize=canonicalize_urls,
+                ),
+            )
+            out["collapsed"] = collapsed
+            keep_cols = [c for c in records.columns if c != id_col]
+            records = collapsed.select(
+                F.col("url_key").alias(id_col), *keep_cols
+            )
+        if exact_dedup_against is not None:
+            from recordlinkage_spark.bloom import dedup_against
+
+            keys = list(exact_keys) if exact_keys else [text_col]
+            batch = records
+            filtered = self._stage(
+                spark, "inc_filtered",
+                lambda: dedup_against(batch, exact_dedup_against, keys),
+            )
+            out["new_unique"] = filtered
+            records = filtered
+        id_type = records.schema[id_col].dataType.simpleString()
+
+        def build_signatures() -> DataFrame:
+            df = records
+            dp = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < dp:
+                df = df.repartition(dp)
+            udf = make_signature_udf(
+                cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
+                cfg.span_tokens, cfg.winnow_window,
+            )
+            return df.select(
+                F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
+            ).select("id", "_sig.*")
+
+        signatures = self._stage(spark, "inc_signatures", build_signatures)
+        # supersede: an id present in both snapshots is an updated doc —
+        # its STORED signature must not pair its stale content
+        store_sigs = prior_signatures.join(
+            signatures.select("id"), "id", "left_anti"
+        )
+
+        def band_rows(sig: DataFrame) -> DataFrame:
+            return sig.select("id", F.explode("bands").alias("_bh")).select(
+                "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
+            )
+
+        cand_dropped = spark.sparkContext.accumulator(0)
+
+        def build_candidates() -> DataFrame:
+            return pairs_against_bands(
+                band_rows(signatures), band_rows(store_sigs), id_type,
+                cfg.max_bucket_size, dropped_acc=cand_dropped,
+            )
+
+        ran = not (self.work_dir and "inc_candidates" in self._manifest)
+        candidates = self._stage(spark, "inc_candidates", build_candidates)
+        if ran:
+            self.metrics.append(
+                {"stage": "inc_candidates", "dropped_buckets": cand_dropped.value}
+            )
+
+        sh_all = signatures.select("id", F.col("sh").alias("_sh")).unionByName(
+            store_sigs.select("id", F.col("sh").alias("_sh"))
+        )
+        n_cand = candidates.count()
+        verified = self._stage(
+            spark, "inc_verified",
+            lambda: exact_jaccard(
+                sh=sh_all, cands=candidates, threshold=self.jaccard_threshold,
+                broadcast_pairs=n_cand <= 2_000_000,
+            ),
+        )
+
+        if self.use_substring_pass:
+            sub_dropped = spark.sparkContext.accumulator(0)
+
+            def build_sub_pairs() -> DataFrame:
+                new_fp = signatures.select(
+                    "id", F.explode("fps").alias("band_key"))
+                old_fp = store_sigs.select(
+                    "id", F.explode("fps").alias("band_key"))
+                return pairs_against_bands(
+                    new_fp, old_fp, id_type, cfg.max_bucket_size,
+                    dropped_acc=sub_dropped,
+                ).withColumn("jaccard", F.lit(None).cast("double"))
+
+            ran = not (self.work_dir and "inc_substring_pairs" in self._manifest)
+            sub_pairs = self._stage(spark, "inc_substring_pairs", build_sub_pairs)
+            if ran:
+                self.metrics.append(
+                    {"stage": "inc_substring_pairs",
+                     "dropped_buckets": sub_dropped.value}
+                )
+            matches = self._stage(
+                spark, "inc_matches",
+                lambda: verified.unionByName(sub_pairs)
+                .dropDuplicates(["id_1", "id_2"]),
+            )
+        else:
+            matches = verified
+
+        cc = ConnectedComponents()
+
+        def build_clusters() -> DataFrame:
+            edges = matches.select("id_1", "id_2")
+            if prior_clusters is not None:
+                prior_edges = prior_clusters.select(
+                    F.col(id_col).alias("id_1"),
+                    F.col("cluster_id").alias("id_2"),
+                ).filter(F.col("id_1") != F.col("id_2"))
+                edges = edges.unionByName(prior_edges)
+            return cc.compute(edges).withColumnRenamed("id", id_col)
+
+        clusters = self._stage(spark, "inc_clusters", build_clusters)
+        out.update({"pairs": candidates, "matches": matches,
+                    "clusters": clusters})
+        return out

@@ -20,8 +20,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from recordlinkage_spark.bloom import dedup_against
+from recordlinkage_spark.config import EngineConfig
+from recordlinkage_spark.datagen import webtext_corpus
 from recordlinkage_spark.minhash import MinHashLSH
 from recordlinkage_spark.network import ConnectedComponents
+from recordlinkage_spark.pipeline import DedupPipeline
 from recordlinkage_spark.webtext import dedup_url_keep_latest
 
 WORDS = [f"w{i:03d}" for i in range(400)]
@@ -112,3 +115,107 @@ def test_incremental_snapshot_flow(spark, frames):
     assert cmap["http://site10.com/a"] == cmap["http://site20.com/a"]
     # D docs never pair: absent from the component table (singletons)
     assert not any("fresh" in k for k in cmap)
+
+
+# --- DedupPipeline.run_incremental -----------------------------------------
+
+_CFG = dict(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3,
+            span_tokens=16, winnow_window=9, max_bucket_size=100_000)
+
+
+def _cluster_sets(df, id_col="url"):
+    rows = df.collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["cluster_id"], set()).add(r[id_col])
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_run_incremental_equals_full_batch(spark, tmp_path):
+    """With disjoint id spaces and no caps hit, incremental clusters over
+    (prior assignments ∪ new matches) must equal the full-batch run over
+    old ∪ new — including the min-id labels."""
+    docs, _ = webtext_corpus(spark, n_docs=400, dup_fraction=0.35, seed=7)
+    docs = docs.cache()
+    old = docs.filter(F.abs(F.hash("url")) % 4 != 0)
+    new = docs.filter(F.abs(F.hash("url")) % 4 == 0)
+
+    base = DedupPipeline(EngineConfig(**_CFG), work_dir=str(tmp_path / "base"),
+                         jaccard_threshold=0.5)
+    base_out = base.run(old, id_col="url", text_col="text")
+    prior_sigs = spark.read.parquet(str(tmp_path / "base" / "signatures"))
+
+    inc = DedupPipeline(EngineConfig(**_CFG), work_dir=str(tmp_path / "inc"),
+                        jaccard_threshold=0.5)
+    inc_out = inc.run_incremental(new, prior_sigs, base_out["clusters"],
+                                  id_col="url", text_col="text")
+
+    full = DedupPipeline(EngineConfig(**_CFG), jaccard_threshold=0.5).run(
+        docs, id_col="url", text_col="text")
+
+    got = inc_out["clusters"]
+    want = full["clusters"]
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # every incremental match touches a new doc (store never self-pairs)
+    new_ids = {r["url"] for r in new.select("url").collect()}
+    for r in inc_out["matches"].collect():
+        assert r["id_1"] in new_ids or r["id_2"] in new_ids
+
+
+def test_run_incremental_resume(spark, tmp_path):
+    docs, _ = webtext_corpus(spark, n_docs=200, dup_fraction=0.3, seed=11)
+    old = docs.filter(F.abs(F.hash("url")) % 3 != 0)
+    new = docs.filter(F.abs(F.hash("url")) % 3 == 0)
+    base = DedupPipeline(EngineConfig(**_CFG), work_dir=str(tmp_path / "b"),
+                         jaccard_threshold=0.5)
+    base_out = base.run(old, id_col="url", text_col="text")
+    prior_sigs = spark.read.parquet(str(tmp_path / "b" / "signatures"))
+
+    wd = str(tmp_path / "i")
+    first = DedupPipeline(EngineConfig(**_CFG), work_dir=wd,
+                          jaccard_threshold=0.5)
+    out1 = first.run_incremental(new, prior_sigs, base_out["clusters"],
+                                 id_col="url", text_col="text")
+    want = sorted(map(tuple, out1["clusters"].collect()))
+    assert any(m["stage"] == "inc_clusters" for m in first.metrics)
+
+    resumed = DedupPipeline(EngineConfig(**_CFG), work_dir=wd,
+                            jaccard_threshold=0.5)
+    out2 = resumed.run_incremental(new, prior_sigs, base_out["clusters"],
+                                   id_col="url", text_col="text")
+    assert sorted(map(tuple, out2["clusters"].collect())) == want
+    # every inc_* stage was read back from the manifest, none re-ran
+    assert not any(m["stage"].startswith("inc_") and "secs" in m
+                   for m in resumed.metrics)
+
+
+def test_run_incremental_supersede_updated_doc(spark, tmp_path):
+    """An id present in both snapshots is an updated doc: its STORED
+    signature must not pair its stale content, while prior cluster edges
+    keep its old links (merge-only contract)."""
+    old = spark.createDataFrame(
+        [("A", _text(1)), ("B", _near(1)), ("C", _text(2))],
+        "url string, text string",
+    )
+    base = DedupPipeline(EngineConfig(**_CFG), work_dir=str(tmp_path / "b"),
+                         jaccard_threshold=0.5)
+    base_out = base.run(old, id_col="url", text_col="text")
+    assert _cluster_sets(base_out["clusters"]) == {frozenset({"A", "B"})}
+    prior_sigs = spark.read.parquet(str(tmp_path / "b" / "signatures"))
+
+    # A is UPDATED to unrelated content; Z is a near-dup of the OLD A/B text
+    new = spark.createDataFrame(
+        [("A", _text(50)), ("Z", _near(1))], "url string, text string")
+    inc = DedupPipeline(EngineConfig(**_CFG), work_dir=str(tmp_path / "i"),
+                        jaccard_threshold=0.5)
+    out = inc.run_incremental(new, prior_sigs, base_out["clusters"],
+                              id_col="url", text_col="text")
+    got = {tuple(sorted((r["id_1"], r["id_2"])))
+           for r in out["matches"].collect()}
+    # Z pairs with B (still stale-free in the store) but NOT with the
+    # superseded A, whose new content matches nothing
+    assert ("B", "Z") in got
+    assert not any("A" in p for p in got)
+    # merge-only: A stays linked to B via the prior edge, so {A, B, Z}
+    assert _cluster_sets(out["clusters"]) == {frozenset({"A", "B", "Z"})}
