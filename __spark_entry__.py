@@ -335,6 +335,39 @@ def q_incremental_dedup_bloom(spark, sf):
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_incremental_pipeline_dedup(spark, sf):
+    """Incremental snapshot ingest (DedupPipeline.run_incremental): the
+    corpus is split doc_id % 3 — two thirds form the BASE corpus (run()
+    produces its signature store + clusters), one third arrives as the
+    NEW snapshot and is paired against the store only (within-snapshot +
+    snapshot-vs-store; the base corpus is never re-paired against
+    itself). Final clusters = CC over prior assignments ∪ new matches.
+
+    Oracle: by the merge equivalence (gated bit-for-bit in
+    tests/test_incremental_flow.py), with disjoint ids and no caps hit
+    the result equals the FULL-batch near-dup clusters — CC over the
+    exact 3-gram-Jaccard >= 0.5 graph (64 bands x 2 rows make the LSH
+    collision probability at j=0.5 ~= 1-1e-8, the same argument as
+    minhash_lsh_dedup), which DuckDB computes with the recursive-CTE
+    reachability pattern."""
+    from recordlinkage_spark.config import EngineConfig
+    from recordlinkage_spark.pipeline import DedupPipeline
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    cfg = EngineConfig(num_perm=128, lsh_bands=64, lsh_rows=2,
+                       shingle_size=3, max_bucket_size=100_000)
+    base = DedupPipeline(cfg, jaccard_threshold=0.5, use_substring_pass=False)
+    base_out = base.run(old, id_col="doc_id", text_col="text")
+    inc = DedupPipeline(cfg, jaccard_threshold=0.5, use_substring_pass=False)
+    out = inc.run_incremental(
+        new, base_out["signatures"], base_out["clusters"],
+        id_col="doc_id", text_col="text",
+    )
+    return out["clusters"].select("doc_id", "cluster_id")
+
+
 def q_exact_dup_groups(spark, sf):
     from recordlinkage_spark import textfns
 
@@ -1398,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "dedup_keep_best": q_dedup_keep_best,
+        "incremental_pipeline_dedup": q_incremental_pipeline_dedup,
         "cluster_size_stats": q_cluster_size_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -1775,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN cl USING (doc_id)
             LEFT JOIN w ON cl.cluster_id = w.cluster_id
+        """,
+        # same recursive-CTE reachability clusters as dedup_keep_best,
+        # over the FULL corpus: the incremental path must land exactly on
+        # the full-batch partition (merge equivalence, see the query)
+        "incremental_pipeline_dedup": f"""
+            WITH RECURSIVE sh AS ({_SH3}),
+            e AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ),
+            sym AS (SELECT id_1 a, id_2 b FROM e UNION SELECT id_2, id_1 FROM e),
+            reach AS (
+              SELECT a s, b d FROM sym
+              UNION SELECT a, a FROM sym
+              UNION SELECT r.s, y.b FROM reach r JOIN sym y ON r.d = y.a
+            )
+            SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
         """,
         "cluster_size_stats": f"""
             WITH RECURSIVE sh AS ({_SH3}),

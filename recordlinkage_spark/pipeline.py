@@ -296,7 +296,10 @@ class DedupPipeline:
                 "id", id_col
             ),
         )
-        out = {"pairs": pairs, "matches": matches, "clusters": clusters}
+        out = {"pairs": pairs, "matches": matches, "clusters": clusters,
+               # the per-doc signature stage (id, bands, fps, sh) — the
+               # store a later run_incremental pairs new snapshots against
+               "signatures": signatures}
         out.update(out_extra)
         if self.remove_spans:
             # ExactSubstr span removal (suffix.remove_duplicate_spans):
