@@ -21,6 +21,11 @@ BENCH/CURATION_SCALE.json:
   - bloom_dedup: incremental dedup of a simulated 1M-row new snapshot
     (half verbatim recrawls, half edited) against the 2M-doc corpus on
     md5 fingerprints — bloom build scan + broadcast probe + exact rescue
+  - incremental_pipeline: DedupPipeline.run_incremental of a 1/3-corpus
+    snapshot against the 2/3-corpus base signature store (base run is an
+    untimed setup hook — it is the prior month's persisted output at
+    scale); timed = snapshot signatures + pairing vs store + verify +
+    merge-only CC
 
 Each op reports wall seconds and docs/sec plus a self-describing
 aggregate. Usage:
@@ -262,10 +267,49 @@ def main() -> None:
         return {"new_rows": int(n_new), "survivors": int(kept),
                 "dropped_as_dup": int(n_new - kept)}
 
+    # --- incremental snapshot ingest (DedupPipeline.run_incremental) ----
+    # Base store (2/3 of the corpus run through the full pipeline) is the
+    # PRIOR month's persisted output at scale, so it is built in an
+    # UNTIMED setup hook; the timed op is what a monthly ingest pays:
+    # snapshot signature pass + within/vs-store pairing (LSH bands +
+    # winnowing fps, store semi-joined to touched keys) + verify +
+    # merge-only CC over prior assignments ∪ new matches.
+    from recordlinkage_spark.config import EngineConfig
+    from recordlinkage_spark.pipeline import DedupPipeline
+
+    incr_cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4,
+                            shingle_size=3, span_tokens=16, winnow_window=9)
+    incr_state: dict = {}
+
+    def setup_incremental_base():
+        if incr_state:
+            return
+        base_df = docs.filter(d % 3 != 0).select("doc_id", "text")
+        t0 = time.time()
+        bout = DedupPipeline(incr_cfg, jaccard_threshold=0.5).run(
+            base_df, id_col="doc_id", text_col="text")
+        incr_state["sigs"] = bout["signatures"]
+        incr_state["clusters"] = bout["clusters"]
+        print(f"incremental base store built (untimed): "
+              f"{round(time.time() - t0, 1)}s", flush=True)
+
+    def run_incremental_pipeline():
+        new_df = docs.filter(d % 3 == 0).select("doc_id", "text")
+        inc = DedupPipeline(incr_cfg, jaccard_threshold=0.5)
+        out = inc.run_incremental(
+            new_df, incr_state["sigs"], incr_state["clusters"],
+            id_col="doc_id", text_col="text",
+        )
+        return {"snapshot_rows": int(new_df.count()),
+                "matches": int(out["matches"].count()),
+                "clustered_docs": int(out["clusters"].count())}
+
     all_ops = [
         ("filter_urls", run_filter_urls),
         ("url_recrawl_dedup", run_url_recrawl_dedup),
         ("bloom_dedup", run_bloom_dedup),
+        ("incremental_pipeline", run_incremental_pipeline,
+         setup_incremental_base),
         ("span_removal", run_span_removal),
         ("dedup_lines_in_doc", run_dedup_lines_in_doc),
         ("corpus_stats", run_corpus_stats),
@@ -275,8 +319,10 @@ def main() -> None:
         ("pack_sequences", run_pack_sequences),
     ]
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    for name, fn in all_ops:
+    for name, fn, *setup in all_ops:
         if only is None or name in only:
+            for s in setup:
+                s()
             run(name, fn)
     spark.stop()
     post = probe()
