@@ -2663,9 +2663,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, url,
                      lower(regexp_extract(url,
                        '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS scheme,
-                     lower(regexp_replace(regexp_extract(url,
+                     lower(regexp_replace(regexp_replace(regexp_extract(url,
                        '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
-                       ':[0-9]+$', '')) AS host
+                       ':[0-9]+$', ''), '\\.+$', '')) AS host
               FROM u
             ),
             judged AS (

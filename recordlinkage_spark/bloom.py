@@ -265,6 +265,14 @@ def dedup_against(
                          fpp=fpp, max_bitmap_bytes=max_bitmap_bytes)
     flagged = new.withColumn("_fp", _fingerprint(key_cols))
     flagged = flagged.withColumn("_might", _might_contain_col(flagged, bf, "_fp"))
+    if exact:
+        # exact mode consumes `flagged` three times (pos_keys.count() gate,
+        # the negatives filter, the positives/rescue branch) — without a
+        # materialization each consumer re-runs the fingerprint + bitmap
+        # probe over the full snapshot. localCheckpoint (lazy) computes the
+        # probe once; blocks are ContextCleaner-collected when the result
+        # is unreferenced. (exact=False consumes it once — no checkpoint.)
+        flagged = flagged.localCheckpoint(eager=False)
     negatives = flagged.filter(~F.col("_might")).drop("_fp", "_might")
     if not exact:
         return negatives

@@ -32,6 +32,44 @@ from recordlinkage_spark.network import ConnectedComponents
 from recordlinkage_spark.suffix import FingerprintSubstring
 
 
+def _signature_frame(
+    records: DataFrame, cfg: EngineConfig, id_col: str, text_col: str
+) -> DataFrame:
+    """The shared signature-stage builder for run() AND run_incremental():
+    ONE tokenize+hash Arrow pass emits all three per-doc signatures
+    (LSH bands, winnowed fingerprints, distinct shingle set) as
+    ``(id, bands, fps, sh)``. Shared on purpose — the incremental path's
+    bit-for-bit equivalence with the full run (tests/test_incremental_flow)
+    requires the two paths to sign identically, so there is exactly one
+    copy of this logic."""
+    from recordlinkage_spark.minhash import make_signature_udf
+
+    spark = records.sparkSession
+    df = records
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        df = df.repartition(dp)
+    udf = make_signature_udf(
+        cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
+        cfg.span_tokens, cfg.winnow_window,
+    )
+    return df.select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
+    ).select("id", "_sig.*")
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """``(id, band_key)`` rows from a signature frame. Band hashes are
+    band-index-salted (minhash._bands_from_segments), so the bucket key is
+    the hash alone; shipping only its top 32 bits as int halves the key
+    bytes of the biggest shuffle, and a key collision only ADDS candidates
+    the verify stage discards. One copy for the same reason as
+    :func:`_signature_frame`."""
+    return sig.select("id", F.explode("bands").alias("_bh")).select(
+        "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
+    )
+
+
 class DedupPipeline:
     def __init__(
         self,
@@ -57,6 +95,13 @@ class DedupPipeline:
     def _load_manifest(self) -> None:
         if self.work_dir and self._manifest_path.exists():
             self._manifest = json.loads(self._manifest_path.read_text())
+        else:
+            # A missing manifest means a FRESH run: reset any entries held
+            # in memory from a previous run of this same object. Without
+            # this, re-pointing work_dir at a new directory (the documented
+            # one-work-dir-per-snapshot flow) would silently "resume" every
+            # stage from the old run's tables and return stale outputs.
+            self._manifest = {}
 
     def _save_manifest(self) -> None:
         if self.work_dir:
@@ -174,7 +219,7 @@ class DedupPipeline:
         output (survivor rows + ``n_crawls``), checkpointed/resumable
         like every other stage. ``canonicalize_urls=False`` collapses on
         the raw url instead."""
-        from recordlinkage_spark.minhash import bucket_pairs, exact_jaccard, make_signature_udf
+        from recordlinkage_spark.minhash import bucket_pairs, exact_jaccard
 
         spark = records.sparkSession
         self._load_manifest()
@@ -200,24 +245,12 @@ class DedupPipeline:
             )
         id_type = records.schema[id_col].dataType.simpleString()
 
-        # ONE tokenize+hash pass computes all three per-doc signatures
-        # (LSH bands, winnowed fingerprints, distinct shingle set); the
-        # materialized stage feeds every downstream pass — the corpus text
-        # crosses into Python exactly once per run.
-        def build_signatures() -> DataFrame:
-            df = records
-            dp = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < dp:
-                df = df.repartition(dp)
-            udf = make_signature_udf(
-                cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
-                cfg.span_tokens, cfg.winnow_window,
-            )
-            return df.select(
-                F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
-            ).select("id", "_sig.*")
-
-        signatures = self._stage(spark, "signatures", build_signatures)
+        # the materialized signature stage feeds every downstream pass —
+        # the corpus text crosses into Python exactly once per run
+        signatures = self._stage(
+            spark, "signatures",
+            lambda: _signature_frame(records, cfg, id_col, text_col),
+        )
 
         # dropped-bucket accumulators: the streaming pair expander drops
         # buckets over the cap; the counts land in the metrics list so
@@ -225,19 +258,9 @@ class DedupPipeline:
         cand_dropped = spark.sparkContext.accumulator(0)
 
         def build_candidates() -> DataFrame:
-            # band hashes are band-index-salted (minhash._bands_from_segments),
-            # so the bucket key is the hash alone; ship only its top 32
-            # bits as int — halves the key bytes of the biggest shuffle,
-            # and a key collision only adds candidates the verify stage
-            # discards (see MinHashLSH.candidate_pairs)
-            band_rows = signatures.select(
-                "id", F.explode("bands").alias("_bh")
-            ).select(
-                "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
-            )
             return bucket_pairs(
-                band_rows, ["band_key"], cfg.max_bucket_size, id_type,
-                dropped_acc=cand_dropped,
+                _band_rows(signatures), ["band_key"], cfg.max_bucket_size,
+                id_type, dropped_acc=cand_dropped,
             )
 
         ran = not (self.work_dir and "candidates" in self._manifest)
@@ -281,9 +304,17 @@ class DedupPipeline:
                 self.metrics.append(
                     {"stage": "substring_pairs", "dropped_buckets": sub_dropped.value}
                 )
+            # merge the two pass outputs per pair with max(jaccard), NOT
+            # dropDuplicates: a pair found by both passes has one row with
+            # the verified jaccard and one with null, and dropDuplicates
+            # keeps whichever arrives first — partitioning-dependent, so
+            # matches.jaccard would flip between runs. max() ignores nulls
+            # and is deterministic (substring-only pairs stay null).
             matches = self._stage(
                 spark, "matches",
-                lambda: verified.unionByName(sub_pairs).dropDuplicates(["id_1", "id_2"]),
+                lambda: verified.unionByName(sub_pairs)
+                .groupBy("id_1", "id_2")
+                .agg(F.max("jaccard").alias("jaccard")),
             )
         else:
             matches = verified
@@ -397,8 +428,7 @@ class DedupPipeline:
         Returns ``{'pairs', 'matches', 'clusters'}`` plus
         ``'collapsed'`` / ``'new_unique'`` when tiers 1 / 2 ran.
         """
-        from recordlinkage_spark.minhash import (
-            exact_jaccard, make_signature_udf, pairs_against_bands)
+        from recordlinkage_spark.minhash import exact_jaccard, pairs_against_bands
 
         spark = new_records.sparkSession
         self._load_manifest()
@@ -434,36 +464,21 @@ class DedupPipeline:
             records = filtered
         id_type = records.schema[id_col].dataType.simpleString()
 
-        def build_signatures() -> DataFrame:
-            df = records
-            dp = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < dp:
-                df = df.repartition(dp)
-            udf = make_signature_udf(
-                cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
-                cfg.span_tokens, cfg.winnow_window,
-            )
-            return df.select(
-                F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
-            ).select("id", "_sig.*")
-
-        signatures = self._stage(spark, "inc_signatures", build_signatures)
+        signatures = self._stage(
+            spark, "inc_signatures",
+            lambda: _signature_frame(records, cfg, id_col, text_col),
+        )
         # supersede: an id present in both snapshots is an updated doc —
         # its STORED signature must not pair its stale content
         store_sigs = prior_signatures.join(
             signatures.select("id"), "id", "left_anti"
         )
 
-        def band_rows(sig: DataFrame) -> DataFrame:
-            return sig.select("id", F.explode("bands").alias("_bh")).select(
-                "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
-            )
-
         cand_dropped = spark.sparkContext.accumulator(0)
 
         def build_candidates() -> DataFrame:
             return pairs_against_bands(
-                band_rows(signatures), band_rows(store_sigs), id_type,
+                _band_rows(signatures), _band_rows(store_sigs), id_type,
                 cfg.max_bucket_size, dropped_acc=cand_dropped,
             )
 
@@ -506,10 +521,13 @@ class DedupPipeline:
                     {"stage": "inc_substring_pairs",
                      "dropped_buckets": sub_dropped.value}
                 )
+            # same deterministic max(jaccard) merge as run() — see the
+            # matches stage comment there
             matches = self._stage(
                 spark, "inc_matches",
                 lambda: verified.unionByName(sub_pairs)
-                .dropDuplicates(["id_1", "id_2"]),
+                .groupBy("id_1", "id_2")
+                .agg(F.max("jaccard").alias("jaccard")),
             )
         else:
             matches = verified

@@ -318,7 +318,10 @@ def select_by_budget(
       bin are stable under budget growth (a larger budget only moves
       the boundary DOWN, never evicts a kept doc).
 
-    Returns the selected rows (original columns).
+    Returns the selected rows (original columns). Rows with a null or
+    NaN ``score_col`` are never selected — they have no defined rank
+    (and an unexcluded NaN would poison the threshold histogram's
+    min/max sizing).
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -326,6 +329,14 @@ def select_by_budget(
         raise ValueError(f"mode must be 'exact' or 'threshold', got {mode!r}")
     score = F.col(score_col).cast("double")
     tok = F.col(token_col).cast("long")
+    # A null/NaN score is unrankable, so those rows are excluded from
+    # selection in BOTH modes (and from the budget mass). Without this,
+    # one NaN poisons the threshold mode wholesale: max() returns NaN
+    # (NaN sorts above every double), hi/width become NaN, every doc
+    # collapses into a single histogram bin, and the "quality-ranked"
+    # selection silently degrades to a uniform hash sample; in exact
+    # mode a NaN doc would rank FIRST and consume budget.
+    df = df.filter(score.isNotNull() & ~F.isnan(score))
 
     if mode == "exact":
         from pyspark.sql import Window

@@ -354,11 +354,17 @@ class FingerprintSubstring:
         the whole Arrow batch, not per pair)."""
         min_span = min_span or self.span_tokens
         cands = self.candidate_pairs(df, id_col, text_col)
-        # persist: avoid re-tokenizing each doc once per probed pair
+        # localCheckpoint (lazy), NOT persist: toks is consumed by both
+        # join branches (avoids re-tokenizing each doc once per probed
+        # pair), and checkpoint blocks are ContextCleaner-collected once
+        # the returned DataFrame is unreferenced — persist() here leaked
+        # one CacheManager entry (full token-hash arrays) per call for
+        # the session lifetime (session-8 review fix, same recipe as
+        # remove_duplicate_spans).
         tok_udf = make_token_hash_udf()
         toks = df.select(
             F.col(id_col).alias("id"), tok_udf(F.col(text_col)).alias("_t")
-        ).persist()
+        ).localCheckpoint(eager=False)
         joined = (
             cands.join(toks.withColumnRenamed("id", "id_1").withColumnRenamed("_t", "_t1"), "id_1")
             .join(toks.withColumnRenamed("id", "id_2").withColumnRenamed("_t", "_t2"), "id_2")
@@ -522,11 +528,19 @@ def remove_duplicate_spans(
       size).
     """
     fp_udf = make_fingerprint_pos_udf(span_tokens, winnow_window)
+    # localCheckpoint (lazy): occ is SELF-joined below (the probe side of
+    # `removals` and the aggregate feeding `dup_fps` are both occ), and
+    # Spark plans self-joins as two independent subtrees — without the
+    # checkpoint the dominant winnowing ArrowEvalPython pass over the
+    # whole corpus executes twice inside the cut-list job (session-8
+    # review fix; the cut_lists checkpoint below only dedupes the two
+    # CONSUMER joins, not this inner self-join).
     occ = (
         df.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
         .filter(F.size("_s.fps") > 0)
         .select("id", F.explode(F.arrays_zip("_s.fps", "_s.poss")).alias("z"))
         .select("id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))
+        .localCheckpoint(eager=False)
     )
     dup_cond = F.col("_cnt") >= 2
     if max_fp_occurrences is not None:

@@ -87,9 +87,13 @@ def canonical_url(url_col: Column) -> Column:
 
 def url_host(url_col: Column) -> Column:
     """Lowercased host (no port, no www-strip) — the blocking key for
-    host-local passes (e.g. per-site boilerplate removal)."""
+    host-local passes (e.g. per-site boilerplate removal). A trailing
+    root-dot (``example.com.`` — valid DNS, same origin as
+    ``example.com``) is stripped: otherwise ``host_suffixes`` would
+    yield ``['example.com.', 'com.', '']`` and a blocklist entry
+    ``example.com`` would be trivially evadable."""
     auth = F.regexp_extract(F.trim(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
-    return F.lower(F.regexp_replace(auth, r":\d+$", ""))
+    return F.lower(F.regexp_replace(F.regexp_replace(auth, r":\d+$", ""), r"\.+$", ""))
 
 
 def normalized_line(line_col: Column) -> Column:
@@ -528,7 +532,9 @@ def line_dedup(
     line in the corpus would vanish.
 
     Returns one row per input doc (docs whose lines ALL drop still appear,
-    with ``text_deduped = ''``):
+    with ``text_deduped = ''``; docs with NULL text appear with
+    ``text_deduped = NULL`` and zero counts — ``posexplode`` alone would
+    silently drop them, breaking rows-in == rows-out reconciliation):
       (id_col, text_deduped string, n_lines long, n_removed long,
        chars_removed long).
     """
@@ -554,7 +560,7 @@ def line_dedup(
         F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("is_dup")))
     )
     kept = F.filter(structs, lambda s: ~s["is_dup"])
-    return flagged.groupBy(id_col).agg(
+    out = flagged.groupBy(id_col).agg(
         F.array_join(F.transform(kept, lambda s: s["line"]), join_sep).alias(
             "text_deduped"
         ),
@@ -568,6 +574,19 @@ def line_dedup(
             ),
             F.lit(0).cast("long"),
         ).alias("chars_removed"),
+    )
+    # posexplode emits ZERO rows for null text, so null-text docs never
+    # reach the aggregate; join the id list back so the one-row-per-doc
+    # contract holds. Both sides are id-keyed and the right side is the
+    # aggregated output, so this is a cheap id-to-id join; AQE broadcasts
+    # it when small.
+    zero = F.lit(0).cast("long")
+    return df.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        "text_deduped",
+        F.coalesce("n_lines", zero).alias("n_lines"),
+        F.coalesce("n_removed", zero).alias("n_removed"),
+        F.coalesce("chars_removed", zero).alias("chars_removed"),
     )
 
 

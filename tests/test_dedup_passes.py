@@ -275,3 +275,41 @@ class TestIncrementalLSH:
         }
         # hot key 1 contributes nothing; key 2 pairs n1 with sa and sb
         assert got == {("sa", "n1"), ("sb", "n1")}
+
+
+def test_pipeline_fresh_workdir_not_poisoned(corpus, tmp_path):
+    """Re-pointing ONE pipeline object at a fresh work_dir (the documented
+    one-work-dir-per-snapshot flow) must run fresh, not 'resume' from the
+    previous run's in-memory manifest entries (session-8 review fix:
+    _load_manifest resets when no manifest file exists)."""
+    docs, _ = corpus
+    small = docs.limit(60).cache()
+    n_small = small.count()
+    cfg = EngineConfig(num_perm=32, lsh_bands=8, lsh_rows=4)
+    pipe = DedupPipeline(cfg, work_dir=str(tmp_path / "runA"),
+                         jaccard_threshold=0.5)
+    out1 = pipe.run(small, id_col="url", text_col="text")
+    assert out1["signatures"].count() == n_small
+    bigger = docs.limit(200).cache()
+    n_big = bigger.count()
+    pipe.work_dir = tmp_path / "runB"
+    out2 = pipe.run(bigger, id_col="url", text_col="text")
+    # before the fix this returned runA's 60-row signature stage
+    assert out2["signatures"].count() == n_big
+
+
+def test_matches_jaccard_deterministic_for_dual_pass_pairs(spark):
+    """A pair found by BOTH the verify pass (jaccard) and the substring
+    pass (jaccard null) must keep the verified jaccard — the merge is
+    max() per pair, not an order-dependent dropDuplicates."""
+    long = " ".join(f"tok{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [("a", long), ("b", long)], "url string, text string"
+    )
+    cfg = EngineConfig(num_perm=32, lsh_bands=8, lsh_rows=4,
+                       span_tokens=16, winnow_window=9)
+    pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+    out = pipe.run(docs, id_col="url", text_col="text")
+    rows = out["matches"].collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == 1.0

@@ -427,3 +427,33 @@ def test_mix_corpora_validates(spark):
         mix_corpora({"web": web}, "doc_id", "n_tok", {"web": 1}, -5)
     with pytest.raises(ValueError):
         mix_corpora({}, "doc_id", "n_tok", {}, 100)
+
+
+def test_select_by_budget_nan_null_scores_excluded(spark):
+    """One NaN score must not poison the threshold histogram (NaN sorts
+    above every double, so max() returns NaN and every doc lands in one
+    bin), and must not rank first in exact mode: null/NaN-score rows are
+    excluded from selection in both modes (session-8 review fix)."""
+    from recordlinkage_spark.sharding import select_by_budget
+
+    docs = _budget_docs(spark, 40)
+    poison = spark.createDataFrame(
+        [(1000, float("nan"), 10), (1001, None, 10)],
+        "doc_id bigint, score double, n_tok bigint",
+    )
+    poisoned = docs.unionByName(poison)
+    for mode in ("exact", "threshold"):
+        clean = {
+            r["doc_id"]
+            for r in select_by_budget(
+                docs, "doc_id", "score", "n_tok", 200, mode=mode
+            ).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in select_by_budget(
+                poisoned, "doc_id", "score", "n_tok", 200, mode=mode
+            ).collect()
+        }
+        assert got == clean, mode
+        assert 1000 not in got and 1001 not in got

@@ -616,3 +616,38 @@ class TestDedupUrlKeepLatest:
         assert "Window" not in plan
         # partial + final aggregate pair, one exchange between them
         assert plan.count("Exchange") == 1
+
+
+def test_line_dedup_null_text_doc_kept(spark):
+    """posexplode emits zero rows for null text — the one-row-per-doc
+    contract still must hold (session-8 review fix): null-text docs come
+    back with text_deduped NULL and zero counts."""
+    df = spark.createDataFrame(
+        [("d1", "x\ny"), ("dn", None)], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in webtext.line_dedup(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {"d1", "dn"}
+    assert out["dn"]["text_deduped"] is None
+    assert out["dn"]["n_lines"] == 0
+    assert out["dn"]["n_removed"] == 0
+    assert out["dn"]["chars_removed"] == 0
+
+
+def test_url_host_trailing_root_dot_stripped(spark):
+    """'http://example.com./x' is the same origin as example.com (DNS
+    root-dot form); the blocklist must not be evadable with it
+    (session-8 review fix)."""
+    df = spark.createDataFrame([("http://EXAMPLE.com.:8080/x",)], "url string")
+    assert df.select(
+        webtext.url_host(F.col("url")).alias("h")
+    ).first()["h"] == "example.com"
+    reason = df.select(
+        webtext.url_block_reason(
+            F.col("url"), blocked_hosts=["example.com"],
+            allowed_schemes=("http", "https"),
+        ).alias("r")
+    ).first()["r"]
+    assert reason == "host"
