@@ -178,19 +178,24 @@ def cosine_topk(
             S = Cn @ Qt  # (n, q)
             c_ids = pdf[id_col].to_numpy()
             take = min(k + 1, len(c_ids))
-            rows = []
-            for j in range(S.shape[1]):
-                idx = np.lexsort((c_ids, -S[:, j]))[:take]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[j],
-                            "neighbor_id": c_ids[idx],
-                            "cosine": S[idx, j],
-                        }
-                    )
-                )
-            yield pd.concat(rows, ignore_index=True)
+            # ONE lexsort over all query columns (axis=0 sorts each
+            # column independently) and ONE output frame per batch — the
+            # previous per-query Python loop built q DataFrames per
+            # Arrow batch, dominating at large query counts (session-8
+            # review fix; exact-equality-tested against the loop,
+            # including the cosine-tie id-asc tiebreak an argpartition
+            # shortcut would break).
+            ids_bc = np.broadcast_to(c_ids[:, None], S.shape)
+            order = np.lexsort((ids_bc, -S), axis=0)[:take]
+            sel_ids = np.take_along_axis(ids_bc, order, axis=0)
+            sel_sc = np.take_along_axis(S, order, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take),
+                    "neighbor_id": sel_ids.T.ravel(),
+                    "cosine": sel_sc.T.ravel(),
+                }
+            )
 
     scored = (
         corpus.select(id_col, vec_col)
@@ -284,9 +289,16 @@ def lsh_buckets(
     bits: int = 12, tables: int = 4, seed: int = 42,
 ) -> DataFrame:
     """(id, table_id, bucket) — one row per hash table, ONE pass over the
-    vectors (single matmul UDF + posexplode)."""
+    vectors (single matmul UDF + posexplode).
+
+    Null vectors are filtered HERE, at the source: the hash UDF would
+    send every null to bucket 0 of every table, inflating those buckets
+    toward the cap (dropping legitimate code-0 vectors' pairs) while the
+    null pairs themselves die later at the NaN-cosine filter anyway —
+    pure cap pollution. lsh_topk additionally filters both of its sides
+    (its query matrix is collected driver-side before bucketing)."""
     udf = _hyperplane_codes_udf(dim, bits, tables, seed)
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.posexplode(udf(F.col(vec_col).cast("array<double>"))).alias(
             "table_id", "bucket"
@@ -432,21 +444,33 @@ def ivf_train(
     """Train spherical-k-means centroids on a seeded corpus sample.
 
     Returns an L2-normalized (n_lists, dim) float64 centroid matrix.
-    Deterministic: the sample is seeded AND sorted by id before Lloyd
-    (toPandas partition order must not leak into the centroids), init
-    draws come from a seeded RandomState, and an emptied list keeps its
-    previous centroid. Training is driver-side numpy over at most
+    Deterministic AND partition-layout-independent: when the corpus
+    exceeds ``sample_rows`` the subset is the lowest-``xxhash64(id,
+    seed)``-ranked rows — NOT Bernoulli ``sample()`` + ``limit()``,
+    both of which select different ROWS under a different partition
+    layout (sample() seeds per-partition; limit() takes whatever
+    arrives first), so two runs over the same data would train
+    different centroids despite the seed (session-8 review fix). A
+    hash-threshold prefilter keeps the ranking sort at ~1.25x
+    sample_rows rows regardless of corpus size. The collected frame is
+    then sorted by id (toPandas order must not leak), init draws come
+    from a seeded RandomState, and an emptied list keeps its previous
+    centroid. Training is driver-side numpy over at most
     ``sample_rows`` vectors — the same bounded-unique-statistics shape as
     the classifier fits (classifiers.py); assignment of the FULL corpus
     is the distributed pass (``ivf_assign``)."""
     total = df.count()
     if total == 0:
         raise ValueError("ivf_train: empty corpus")
-    frac = min(1.0, (sample_rows * 1.25) / total)
     sample = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    if frac < 1.0:
-        sample = sample.sample(fraction=frac, seed=seed)
-    sample = sample.limit(sample_rows)
+    if total > sample_rows:
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+        frac = min(1.0, (sample_rows * 1.25) / total)
+        sample = sample.withColumn("_h", h)
+        if frac < 1.0:
+            thresh = int(frac * (1 << 20))
+            sample = sample.filter(F.pmod(F.col("_h"), F.lit(1 << 20)) < thresh)
+        sample = sample.orderBy("_h", id_col).limit(sample_rows).drop("_h")
     pdf = sample.toPandas().sort_values(id_col).reset_index(drop=True)
     X = _normalize_rows(_stack(pdf[vec_col]))
     n = len(X)

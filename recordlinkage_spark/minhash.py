@@ -380,8 +380,9 @@ def pairs_against_bands(
     new-vs-store pairs via the touched-key capped join — the store is
     semi-joined to the batch's distinct keys first, so it never shuffles
     in full (partition-pruned when the store is bucketed on band_key).
-    Store keys whose touched-row count exceeds ``max_bucket_size`` are
-    dropped (boilerplate protection). Key-column dtype is caller's
+    Keys over ``max_bucket_size`` on EITHER side are dropped from the
+    cross join (boilerplate protection, matching the within-batch
+    expander's cap). Key-column dtype is caller's
     choice — the LSH path uses 32-bit int band keys, the winnowing path
     64-bit fingerprints renamed to ``band_key``.
 
@@ -394,12 +395,26 @@ def pairs_against_bands(
         new_bands, ["band_key"], max_bucket_size, id_type,
         dropped_acc=dropped_acc,
     )
-    touched = store_bands.join(new_bands.select("band_key").distinct(), "band_key")
+    # Cap BOTH sides of the cross join. The within-batch expander above
+    # already drops new-side buckets over the cap, but the cross join is
+    # a separate path: without a new-side filter a boilerplate band_key
+    # shared by 1M batch rows would still join against up to
+    # max_bucket_size store rows each — the exact mega-bucket fan-out the
+    # cap exists to prevent (session-8 review fix). Hot new keys are the
+    # ones the expander already counted in dropped_acc, so no second
+    # increment here; the groupBy is map-side combinable, so the hot-key
+    # count itself cannot skew.
+    new_sizes = new_bands.groupBy("band_key").agg(F.count("*").alias("_nn"))
+    ok_new = new_bands.join(
+        new_sizes.filter(F.col("_nn") > max_bucket_size).select("band_key"),
+        "band_key", "left_anti",
+    )
+    touched = store_bands.join(ok_new.select("band_key").distinct(), "band_key")
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
     kept_keys = sizes.filter(F.col("_n") <= max_bucket_size)
     hits = touched.join(kept_keys.select("band_key"), "band_key")
     cross = (
-        new_bands.select("band_key", F.col("id").alias("_nid"))
+        ok_new.select("band_key", F.col("id").alias("_nid"))
         .join(hits.select("band_key", F.col("id").alias("_sid")), "band_key")
         .filter(F.col("_nid") != F.col("_sid"))
         .select(
@@ -718,18 +733,37 @@ class MinHashLSH:
         """Candidates + exact Jaccard over distinct shingle-hash sets,
         filtered at ``threshold``. The verify math is pure JVM
         (array_intersect / array_union on bigint arrays)."""
-        cands = self.candidate_pairs(df, id_col, text_col)
+        # localCheckpoint + explicit count: exact_jaccard's broadcast
+        # heuristic would otherwise run cands.count() over the lazy
+        # candidate DAG and the verify join would re-execute it — the
+        # full signature UDF + shuffle + pair expansion twice (session-8
+        # review fix; same contract as the pipeline, which materializes
+        # candidates as a stage before verifying).
+        cands = self.candidate_pairs(df, id_col, text_col).localCheckpoint(
+            eager=False
+        )
+        n_cand = cands.count()
         sh = self.with_shingles(df, text_col).select(
             F.col(id_col).alias("id"), F.col("_sh")
         )
-        j = exact_jaccard(cands, sh, threshold)
+        j = exact_jaccard(cands, sh, threshold,
+                          broadcast_pairs=n_cand <= 2_000_000)
         cols = ["id_1", "id_2"] + (["jaccard"] if keep_jaccard else [])
         return j.select(*cols)
 
     def truncation_metrics(self, df: DataFrame, id_col: str, text_col: str) -> dict:
-        """Eagerly measure bucket-cap truncation (for the metrics table)."""
+        """Eagerly measure bucket-cap truncation (for the metrics table).
+
+        Buckets are keyed exactly as ``candidate_pairs`` buckets them —
+        the TRUNCATED 32-bit ``band_key``, not the full (band_id,
+        band_hash): two 64-bit buckets that merge under truncation are
+        one real bucket at run time, and measuring the un-truncated key
+        would report dropped_buckets=0 for a merged bucket the run
+        actually dropped (session-8 review fix)."""
         bands = self.bands_table(df, id_col, text_col)
-        sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        sizes = bands.groupBy(
+            F.shiftright("band_hash", 32).cast("int").alias("band_key")
+        ).agg(F.count("*").alias("_n"))
         row = sizes.agg(
             F.count("*").alias("buckets"),
             F.sum((F.col("_n") > self.max_bucket_size).cast("int")).alias("dropped"),

@@ -293,8 +293,18 @@ class ConnectedComponents:
     def compute(self, pairs: DataFrame, checkpoint=None) -> DataFrame:
         """pairs(id_1,id_2) -> (id, cluster_id). Singletons not in any pair
         are not emitted (join the records table to give them their own id)."""
-        if self.driver_threshold and pairs.count() <= self.driver_threshold:
-            return self._compute_driver(pairs)
+        if self.driver_threshold:
+            # localCheckpoint (lazy) BEFORE the size probe: the count()
+            # executes the caller's upstream DAG, and without a
+            # materialization the chosen path (driver toPandas or the
+            # distributed edge build) re-executes it — for a lazy caller
+            # like semantic_dedup that is the whole edge-expansion kernel
+            # twice, plus doubled dropped-cluster accumulators (session-8
+            # review fix). Pipeline callers pass materialized stages and
+            # are unaffected.
+            pairs = pairs.localCheckpoint(eager=False)
+            if pairs.count() <= self.driver_threshold:
+                return self._compute_driver(pairs)
         checkpoint = checkpoint or (lambda df: df.localCheckpoint())
         # symmetric edge list (both directions) — label flows both ways
         edges = pairs.select(

@@ -75,22 +75,47 @@ def streaming_minhash_signatures(
 
 def foreach_batch_dedup(signature_store_path: str, pairs_out_path: str,
                         max_bucket_size: int = 2000):
-    """forEachBatch hook: append the micro-batch's signatures to the store,
-    then join the NEW signatures against the full store to emit only pairs
-    involving fresh docs (incremental LSH — no recomputation of old pairs)."""
+    """forEachBatch hook: add the micro-batch's signatures to the store,
+    then join the NEW signatures against the store to emit only pairs
+    involving fresh docs (incremental LSH — no recomputation of old pairs).
+
+    Retry-safe and store-size-independent (session-8 review fixes):
+
+    - IDEMPOTENT writes: foreachBatch is at-least-once — on failure Spark
+      re-invokes ``process`` with the same ``batch_id``. Both outputs are
+      partitioned by ``batch_id`` and written with dynamic partition
+      overwrite, so a retry REPLACES its own partition; a plain append
+      would double the batch's signature rows, pushing bucket counts over
+      the cap early (silently dropping real pairs) and duplicating pair
+      files.
+    - TOUCHED-KEY pruning: the store is joined to the batch's distinct
+      band keys before the bucket-size aggregate, so per-batch work
+      scales with the touched rows, not the accumulated store (the same
+      contract as ``minhash.pairs_against_bands``; at real scale keep the
+      store bucketed/partitioned on the band key so the prune prunes the
+      SCAN too). The cap still counts the key's FULL bucket (store rows
+      include the just-written batch), so semantics match the batch path.
+    """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(signature_store_path)
-        store = spark.read.parquet(signature_store_path)
         key = ["band_id", "band_hash"]
-        sizes = store.groupBy(*key).agg(F.count("*").alias("_n"))
-        store = store.join(
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(signature_store_path)
+        )
+        store = spark.read.parquet(signature_store_path).drop("batch_id")
+        touched = store.join(batch_df.select(*key).distinct(), key)
+        sizes = touched.groupBy(*key).agg(F.count("*").alias("_n"))
+        kept = touched.join(
             sizes.filter(F.col("_n") <= max_bucket_size).select(*key), key
         )
         fresh = batch_df.withColumnRenamed("id", "id_1")
         pairs = (
-            fresh.join(store.withColumnRenamed("id", "id_2"), key)
+            fresh.join(kept.withColumnRenamed("id", "id_2"), key)
             .filter(F.col("id_1") != F.col("id_2"))
             .select(
                 F.greatest("id_1", "id_2").alias("id_1"),
@@ -98,7 +123,13 @@ def foreach_batch_dedup(signature_store_path: str, pairs_out_path: str,
             )
             .dropDuplicates(["id_1", "id_2"])
         )
-        pairs.write.mode("append").parquet(pairs_out_path)
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_out_path)
+        )
 
     return process
 

@@ -230,12 +230,23 @@ def gram_hashes_np(flat: np.ndarray, lengths: np.ndarray, n: int):
         d = doc_of[pos]
         out[out_starts[d] + (pos - starts[d])] = g[pos]
 
-    short = np.nonzero(lengths <= n)[0]
-    for d in short:
-        acc = np.uint64(0)
-        for p in range(starts[d], ends[d]):
-            acc = _rot13_xor_np(acc, flat[p])
-        out[out_starts[d]] = acc
+    # Short docs (< n tokens) fold all their tokens into one gram. The
+    # fold is vectorized ACROSS docs with one step per token POSITION
+    # (at most n-1 steps total) — a per-doc per-token Python loop here
+    # degraded title/anchor-heavy corpora to interpreter speed (session-8
+    # review fix). Docs with exactly n tokens are already written by the
+    # windowed branch above (its n-token fold from g=x0 equals the
+    # from-zero fold since rotl(0)^x0 == x0), so they are excluded
+    # instead of being recomputed.
+    short = np.nonzero(lengths < n)[0]
+    if len(short):
+        s_starts = starts[short]
+        s_lens = lengths[short]
+        acc = np.zeros(len(short), dtype=np.uint64)
+        for j in range(int(s_lens.max()) if len(s_lens) else 0):
+            live = s_lens > j
+            acc[live] = _rot13_xor_np(acc[live], flat[s_starts[live] + j])
+        out[out_starts[short]] = acc
     return out, out_counts
 
 

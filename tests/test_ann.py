@@ -165,3 +165,33 @@ def test_ivf_query_guard_trips(vectors):
     with pytest.raises(ValueError, match="ivf_topk"):
         ann._collect_matrix(vectors, "vec_id", "embedding", max_rows=10,
                             caller="ivf_topk (query side)")
+
+
+def test_ivf_train_layout_independent(spark):
+    """The trained centroids must not depend on partition layout: Bernoulli
+    sample() seeds per-partition and limit() takes arrival order, so the
+    subset is now the lowest-hash-ranked rows (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark import ann
+
+    rows = [
+        (i, [float((i * 7 + j) % 13) + 0.1 for j in range(4)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    c1 = ann.ivf_train(df.repartition(2), n_lists=4, sample_rows=80, seed=7)
+    c2 = ann.ivf_train(df.repartition(11), n_lists=4, sample_rows=80, seed=7)
+    assert np.allclose(c1, c2)
+
+
+def test_lsh_buckets_null_vectors_excluded(spark):
+    """Null vectors must not hash to bucket 0 of every table — they would
+    only inflate those buckets toward the cap (session-8 review fix)."""
+    from recordlinkage_spark import ann
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    out = ann.lsh_buckets(df, dim=2, bits=4, tables=2)
+    assert {r["id"] for r in out.collect()} == {1}

@@ -313,3 +313,26 @@ def test_matches_jaccard_deterministic_for_dual_pass_pairs(spark):
     rows = out["matches"].collect()
     assert len(rows) == 1
     assert rows[0]["jaccard"] == 1.0
+
+
+def test_pairs_against_bands_caps_new_side(spark):
+    """A boilerplate band_key that is hot on the NEW side must be dropped
+    from the cross join too, not only from the within-batch expander —
+    otherwise 1M batch rows on one key each join up to cap store rows
+    (session-8 review fix)."""
+    from recordlinkage_spark.minhash import pairs_against_bands
+
+    mk = spark.createDataFrame
+    new = mk(
+        [(f"n{i}", 1) for i in range(6)] + [("na", 2), ("nb", 2)],
+        "id string, band_key int",
+    )
+    store = mk([("s1", 1), ("s2", 1), ("sa", 2)], "id string, band_key int")
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in pairs_against_bands(new, store, "string", 5).collect()
+    }
+    involved = {x for p in got for x in p}
+    # hot new key 1 (6 rows > cap 5) contributes nothing on either path
+    assert "s1" not in involved and "s2" not in involved
+    assert got == {("nb", "na"), ("sa", "na"), ("sa", "nb")}

@@ -204,3 +204,28 @@ def test_streaming_simhash_timeout_evicts_state(spark, tmp_path):
     # C duplicates A/B's text, but their bucket state timed out and was
     # removed before C arrived -> no cross-eviction pair
     assert not any("C" in p for p in got), got
+
+
+def test_foreach_batch_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking the hook with the same
+    batch_id (simulated retry) must not double the stored signatures or
+    the emitted pairs (session-8 review fix: batch_id-partitioned dynamic
+    overwrite instead of append)."""
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    proc = streaming.foreach_batch_dedup(store, pairs_out, max_bucket_size=10)
+    schema = "id string, band_id int, band_hash long"
+    b0 = spark.createDataFrame([("a", 0, 111), ("b", 0, 111)], schema)
+    proc(b0, 0)
+    proc(b0, 0)  # retry with the same batch_id
+    assert spark.read.parquet(store).count() == 2  # not 4
+    first = spark.read.parquet(pairs_out).select("id_1", "id_2")
+    assert first.count() == 1 and first.distinct().count() == 1
+    # a later batch pairs against the deduplicated store exactly once
+    b1 = spark.createDataFrame([("c", 0, 111)], schema)
+    proc(b1, 1)
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in spark.read.parquet(pairs_out).select("id_1", "id_2").collect()
+    }
+    assert got == {("b", "a"), ("c", "a"), ("c", "b")}
