@@ -88,17 +88,7 @@ class LogisticRegressionClassifier(BaseClassifier):
                     "for the deterministic mode"
                 )
             return self  # manual mode: nothing to learn
-        # label each pair by membership in the truth set (base.py:912-926)
-        labeled = features.join(
-            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
-        ).fillna({"_y": 0})
-        _guard_discrete(features, self._cols)
-        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
-        if not any(r["_y"] == 1 for r in grouped):
-            raise ValueError("training data has zero matches (base.py:916-922)")
-        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
-        y = np.array([float(r["_y"]) for r in grouped])
-        wts = np.array([float(r["count"]) for r in grouped])
+        X, y, wts = _collect_labeled_stats(features, truth, self._cols)
         beta = np.zeros(X.shape[1] + 1)
         Xb = np.hstack([np.ones((len(X), 1)), X])
         for _ in range(self.max_iter):
@@ -118,6 +108,7 @@ class LogisticRegressionClassifier(BaseClassifier):
         cols = self._cols or _feature_cols(features)
         if self.coefficients is None:
             raise ValueError("not fitted and no manual coefficients")
+        _check_coefficients(self.coefficients, cols)
         z = F.lit(self.intercept)
         for c, w in zip(cols, self.coefficients):
             z = z + F.col(c) * F.lit(float(w))
@@ -145,6 +136,38 @@ def _guard_discrete(features: DataFrame, cols: list[str],
             f"driver-side fit needs discrete feature vectors: ~{est} unique "
             f"vectors across {cols} (> {max_unique}). Bin continuous "
             "similarities (e.g. F.round(col, 2)) before fitting."
+        )
+
+
+def _collect_labeled_stats(features: DataFrame, truth: DataFrame,
+                           cols: list[str]):
+    """Shared supervised-fit preamble (reference base.py:912-926): label
+    each pair by truth membership, gate discreteness, and collect the
+    weighted unique-feature-vector statistics. One copy on purpose —
+    LogReg/NB/SVM previously each carried a verbatim clone, so a fix to
+    one silently missed the others. Returns ``(X, y01, wts)`` with
+    ``y01`` the 0/1 float labels (callers remap: SVM to ±1)."""
+    labeled = features.join(
+        truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
+    ).fillna({"_y": 0})
+    _guard_discrete(features, cols)
+    grouped = labeled.groupBy(*cols, "_y").count().collect()
+    if not any(r["_y"] == 1 for r in grouped):
+        raise ValueError("training data has zero matches (base.py:916-922)")
+    X = np.array([[float(r[c]) for c in cols] for r in grouped])
+    y = np.array([float(r["_y"]) for r in grouped])
+    wts = np.array([float(r["count"]) for r in grouped])
+    return X, y, wts
+
+
+def _check_coefficients(coefficients, cols: list[str]) -> None:
+    """zip() would silently truncate a length mismatch — score with only
+    the first columns and ignore the rest (the reference's sklearn matmul
+    raises a shape error; session-8 review fix)."""
+    if len(coefficients) != len(cols):
+        raise ValueError(
+            f"{len(coefficients)} coefficients for {len(cols)} feature "
+            f"columns {cols}"
         )
 
 
@@ -248,16 +271,7 @@ class NaiveBayesClassifier(BaseClassifier, _NBModel):
         if truth is None:
             raise ValueError("NaiveBayesClassifier is supervised: truth required")
         self._cols = _feature_cols(features)
-        labeled = features.join(
-            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
-        ).fillna({"_y": 0})
-        _guard_discrete(features, self._cols)
-        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
-        if not any(r["_y"] == 1 for r in grouped):
-            raise ValueError("training data has zero matches (base.py:916-922)")
-        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
-        y = np.array([int(r["_y"]) for r in grouped])
-        wts = np.array([float(r["count"]) for r in grouped])
+        X, y, wts = _collect_labeled_stats(features, truth, self._cols)
         self.classes_list = _binarizers(X)
         X_bin = _binarize(X, self.classes_list)
         # class-conditional weighted counts (nb_sklearn.py:306-310)
@@ -363,8 +377,15 @@ class ECMClassifier(BaseClassifier, _NBModel):
             ) and np.allclose(
                 np.exp(feature_log_prob), np.exp(self.feature_log_prob_), atol=self.atol
             )
-            if np.all(np.isnan(feature_log_prob)):
-                break  # NaN guard (nb_sklearn.py:624-630)
+            if (np.isnan(feature_log_prob).any()
+                    or np.isnan(class_log_prior).any()):
+                # NaN guard (nb_sklearn.py:624-630 checks all-NaN; we
+                # break on ANY NaN — a single collapsed class, posterior
+                # mass exactly 0, would otherwise be assigned into the
+                # model and poison every later prediction with NaN
+                # scores. Breaking BEFORE assignment keeps the last
+                # finite parameters.)
+                break
             self.class_log_prior_ = class_log_prior
             self.feature_log_prob_ = feature_log_prob
             if close:
@@ -385,10 +406,17 @@ class ECMClassifier(BaseClassifier, _NBModel):
         pos = 0
         for col, classes in zip(self._cols, self.classes_list):
             k = classes.shape[0]
-            width = 2 if k <= 2 else k
+            # must walk the exact _binarize layout: k==1 emits ONE
+            # (inverted-indicator) column, not two — advancing by 2 here
+            # misaligned every later column's probabilities and could run
+            # off the end of feature_log_prob_ (session-8 review fix)
+            width = 1 if k == 1 else (2 if k == 2 else k)
             probs = np.exp(self.feature_log_prob_[class_idx, pos : pos + width])
             if k == 1:
-                out[col] = float(probs[0]) if classes[0] == 1 else 0.0
+                # constant column: P(value==1) is 1 or 0 by inspection.
+                # The single fitted prob is for the inverted indicator
+                # (identically 0 in training), not for agreement.
+                out[col] = 1.0 if classes[0] == 1 else 0.0
             elif k == 2:
                 # second indicator corresponds to the larger class value
                 idx = int(np.where(classes == 1)[0][0]) if 1 in classes else 1
@@ -521,16 +549,8 @@ class SVMClassifier(LogisticRegressionClassifier):
         if truth is None:
             raise ValueError("SVMClassifier requires truth pairs to fit")
         self._cols = _feature_cols(features)
-        labeled = features.join(
-            truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
-        ).fillna({"_y": 0})
-        _guard_discrete(features, self._cols)
-        grouped = labeled.groupBy(*self._cols, "_y").count().collect()
-        if not any(r["_y"] == 1 for r in grouped):
-            raise ValueError("training data has zero matches (base.py:916-922)")
-        X = np.array([[float(r[c]) for c in self._cols] for r in grouped])
-        y = np.where(np.array([r["_y"] for r in grouped]) == 1, 1.0, -1.0)
-        wts = np.array([float(r["count"]) for r in grouped])
+        X, y01, wts = _collect_labeled_stats(features, truth, self._cols)
+        y = np.where(y01 == 1, 1.0, -1.0)
         Xb = np.hstack([np.ones((len(X), 1)), X])
         beta = np.zeros(Xb.shape[1])
         C = self.C
@@ -565,6 +585,7 @@ class SVMClassifier(LogisticRegressionClassifier):
         cols = self._cols or _feature_cols(features)
         if self.coefficients is None:
             raise ValueError("not fitted")
+        _check_coefficients(self.coefficients, cols)
         z = F.lit(self.intercept)
         for c, w in zip(cols, self.coefficients):
             z = z + F.col(c) * F.lit(float(w))

@@ -77,10 +77,18 @@ class Exact(BaseCompareFeature):
         l, r = self._l(), self._r()
         if self.agree_value == "value":
             expr = F.when(l == r, l).otherwise(F.lit(self.disagree_value))
-        else:
-            expr = F.when(l == r, F.lit(self.agree_value)).otherwise(
-                F.lit(self.disagree_value)
-            )
+            if self.disagree_value != self.missing_value:
+                expr = F.when(
+                    l.isNull() | r.isNull(), F.lit(self.missing_value)
+                ).otherwise(expr)
+            # value mode keeps the column's own type (the reference passes
+            # the raw value through, compare.py:66-69); casting to double
+            # turned string-column agreements into NULLs — exactly the
+            # agreeing pairs (session-8 review fix)
+            return expr
+        expr = F.when(l == r, F.lit(self.agree_value)).otherwise(
+            F.lit(self.disagree_value)
+        )
         if self.disagree_value != self.missing_value:
             expr = F.when(l.isNull() | r.isNull(), F.lit(self.missing_value)).otherwise(expr)
         return expr.cast("double")
@@ -388,6 +396,9 @@ class Compare:
         # route through add() so constructor-passed features get the same
         # normalization (Variable side='both' expansion) as fluent calls
         self.features: list[BaseCompareFeature] = []
+        # default id column for compute(); a compute(id_col=...) argument
+        # overrides per call
+        self.id_col = id_col
         for f in features or []:
             self.add(f)
 
@@ -442,13 +453,18 @@ class Compare:
         pairs: DataFrame,
         df_a: DataFrame,
         df_b: DataFrame | None = None,
-        id_col: str = "id",
+        id_col: str | None = None,
     ) -> DataFrame:
         """pairs(id_1,id_2) ⋈ records → one select of all features.
+
+        ``id_col`` defaults to the constructor's ``id_col`` (previously
+        the constructor argument was accepted but silently ignored —
+        session-8 review fix).
 
         Validates requested labels eagerly, like the reference's
         is_label_dataframe check (utils.py:71-79 → KeyError at base.py:626-628).
         """
+        id_col = id_col if id_col is not None else self.id_col
         if df_b is None:
             df_b = df_a
         cols_l = sorted({c for f in self.features for c in f.left_on})

@@ -288,7 +288,13 @@ class NeighbourhoodBlock(BaseIndexAlgorithm):
         ranks_r = r_parts[0]
         for p in r_parts[1:]:
             ranks_r = ranks_r.join(p, "id_2")
-        ranks_l, ranks_r = ranks_l.persist(), ranks_r.persist()
+        # localCheckpoint (lazy), not persist(): both are consumed by
+        # every per-field window join below, and checkpoint blocks are
+        # ContextCleaner-collected once the returned plan is
+        # unreferenced — persist() leaked two CacheManager entries per
+        # index() call for the session lifetime (session-8 review fix).
+        ranks_l = ranks_l.localCheckpoint(eager=False)
+        ranks_r = ranks_r.localCheckpoint(eager=False)
 
         if self.max_nulls + self.max_non_matches >= n:
             cands = ranks_l.select("id_1").crossJoin(ranks_r.select("id_2"))
@@ -382,6 +388,10 @@ class Random(BaseIndexAlgorithm):
 
     def _draw(self, n_max: int) -> np.ndarray:
         rng = np.random.RandomState(self.random_state)
+        if n_max <= 0 or self.n <= 0:
+            # empty pair space (e.g. dedup over a 1-record frame): an
+            # empty draw, not numpy's obscure "low >= high" ValueError
+            return np.zeros(0, dtype=np.int64)
         if self.replace:
             return rng.randint(0, n_max, self.n).astype(np.int64)
         if self.n > n_max:

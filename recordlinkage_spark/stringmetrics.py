@@ -146,9 +146,6 @@ def damerau_levenshtein_distance(s1: str, s2: str) -> int:
     return int(d[len1 + 1, len2 + 1])
 
 
-_NON_SPACE = None
-
-
 def _strip_accents_unicode(s: str) -> str:
     """sklearn-compatible unicode accent stripping (NFKD + drop combining).
 
@@ -1050,25 +1047,6 @@ qgram_batch = _char_wb_family_batch("qgram")
 cosine_batch = _char_wb_family_batch("cosine")
 
 
-def _norm_dist(dist_fn):
-    def batch(s1, s2):
-        out = np.full(len(s1), np.nan)
-        a1 = s1.to_numpy(dtype=object)
-        a2 = s2.to_numpy(dtype=object)
-        for i in range(len(out)):
-            x, y = a1[i], a2[i]
-            if x is None or y is None or (isinstance(x, float) and np.isnan(x)) or (
-                isinstance(y, float) and np.isnan(y)
-            ):
-                continue
-            x, y = str(x), str(y)
-            mx = max(len(x), len(y))
-            if mx == 0:
-                continue  # 0/0 -> NaN, matching the reference's numpy warning path
-            out[i] = 1.0 - dist_fn(x, y) / mx
-        return pd.Series(out)
-
-    return batch
 
 
 def levenshtein_batch(s1, s2):

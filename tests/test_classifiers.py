@@ -246,3 +246,47 @@ def test_ecm_defaults_come_from_engine_config():
     d = EngineConfig()
     clf3 = ECMClassifier()
     assert clf3.max_iter == d.ecm_max_iter and clf3.atol == d.ecm_atol
+
+
+def test_fs_views_with_constant_column():
+    """A constant (single-class) feature column occupies ONE binarized
+    column, not two — the FS param views must walk the same widths or
+    every later column's probabilities misalign / run off the end
+    (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark.classifiers import ECMClassifier
+
+    clf = ECMClassifier()
+    clf._cols = ["f_const", "f_bin"]
+    clf.classes_list = [np.array([1.0]), np.array([0.0, 1.0])]
+    # layout widths: 1 (inverted indicator) + 2 ([1-X, X]) = 3
+    clf.feature_log_prob_ = np.log(
+        np.array([[0.5, 0.7, 0.3], [0.5, 0.2, 0.8]])
+    )
+    clf.class_log_prior_ = np.log(np.array([0.6, 0.4]))
+    m, u = clf.m_probs, clf.u_probs
+    assert m["f_const"] == 1.0 and u["f_const"] == 1.0
+    assert abs(m["f_bin"] - 0.8) < 1e-12
+    assert abs(u["f_bin"] - 0.3) < 1e-12
+
+
+def test_predict_coefficient_length_mismatch_raises(spark):
+    """zip() would silently truncate; the reference's sklearn matmul
+    raises — so do we (session-8 review fix)."""
+    import pytest as _pytest
+
+    from recordlinkage_spark.classifiers import (LogisticRegressionClassifier,
+                                                 SVMClassifier)
+
+    feats = spark.createDataFrame(
+        [(1, 2, 1.0, 0.0, 1.0)], "id_1 int, id_2 int, f_a double, f_b double, f_c double"
+    )
+    lr = LogisticRegressionClassifier(coefficients=[2.0], intercept=-1.0)
+    with _pytest.raises(ValueError, match="coefficients"):
+        lr.predict(feats).collect()
+    svm = SVMClassifier()
+    svm.coefficients = [1.0, 2.0]
+    svm.intercept = 0.0
+    with _pytest.raises(ValueError, match="coefficients"):
+        svm.predict(feats).collect()

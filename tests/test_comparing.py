@@ -257,3 +257,45 @@ def test_variable_both_build_raises():
 
     with pytest.raises(NotImplementedError):
         Variable("v", side="both").build()
+
+
+def test_compare_constructor_id_col_used(spark):
+    """Compare(id_col='url') must key compute() on 'url' — the parameter
+    was previously accepted and silently ignored (session-8 review fix)."""
+    from recordlinkage_spark.comparing import Compare
+
+    df = spark.createDataFrame(
+        [("u1", "x"), ("u2", "x"), ("u3", "y")], "url string, val string"
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "id_1 string, id_2 string"
+    )
+    out = {
+        (r["id_1"], r["id_2"]): r["f"]
+        for r in Compare(id_col="url")
+        .exact("val", "val", label="f")
+        .compute(pairs, df)
+        .collect()
+    }
+    assert out == {("u1", "u2"): 1.0, ("u1", "u3"): 0.0}
+
+
+def test_exact_agree_value_passthrough_string(spark):
+    """agree_value='value' passes the raw value through in the column's
+    own type — the double cast turned string agreements into NULLs
+    (session-8 review fix)."""
+    from recordlinkage_spark.comparing import Compare, Exact
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "zzz")], "id int, name string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_1 int, id_2 int")
+    out = {
+        (r["id_1"], r["id_2"]): r["f"]
+        for r in Compare([Exact("name", "name", agree_value="value",
+                                disagree_value="", missing_value="",
+                                label="f")])
+        .compute(pairs, df)
+        .collect()
+    }
+    assert out == {(1, 2): "abc", (1, 3): ""}

@@ -145,3 +145,13 @@ def test_index_pass_stats(idx_frames):
     # reduction ratio vs the full link index (100 x 150)
     n_full = a.count() * b.count()
     assert abs(stats[0]["reduction_ratio"] - (1 - 100 / n_full)) < 1e-9
+
+
+def test_random_empty_pair_space(spark):
+    """Random on a 1-record frame (0 possible pairs) returns an empty
+    index instead of numpy's 'low >= high' ValueError (session-8 review
+    fix)."""
+    from recordlinkage_spark.indexing import Random
+
+    df = spark.createDataFrame([("only", 1)], "id string, v int")
+    assert Random(n=5, random_state=42).index(df, id_col="id").count() == 0
