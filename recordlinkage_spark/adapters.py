@@ -94,7 +94,11 @@ class SKLearnClassifierAdapter(BaseClassifier):
             truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
         ).fillna({"_y": 0})
         rows = labeled.select(*self._cols, "_y").collect()
-        X = np.asarray([[float(r[c]) for c in self._cols] for r in rows], dtype=float)
+        # None -> NaN like the unsupervised branch above (float(None)
+        # raises TypeError, so a single null feature value crashed the
+        # supervised path only — session-8 review fix); whether the
+        # wrapped model accepts NaN is its own contract, as with sklearn.
+        X = np.asarray([[r[c] for c in self._cols] for r in rows], dtype=float)
         y = np.asarray([int(r["_y"]) for r in rows])
         if y.sum() == 0:
             raise ValueError("training data has zero matches (base.py:916-922)")

@@ -83,6 +83,16 @@ def write_annotation_file(
         .join(b_side, "id_2")
         .collect()
     )
+    if len(rows) != n:
+        # inner joins silently drop pairs whose id is missing from the
+        # record frames (and duplicate record ids inflate them) — a human
+        # would label a truncated candidate set with no warning
+        # (session-8 review fix)
+        raise ValueError(
+            f"pair/record mismatch: {n} pairs but {len(rows)} joined rows "
+            "— some pair ids are missing from df_a/df_b (stale candidate "
+            "set? id type mismatch?) or record ids are duplicated"
+        )
     result = {"version": SCHEMA_VERSION_LATEST, "pairs": []}
     for r in rows:
         fields = []
@@ -145,6 +155,18 @@ class AnnotationResult:
     def _to_df(self, spark: SparkSession, tuples):
         if tuples is None:
             return spark.createDataFrame([], "id_1 string, id_2 string")
+        # keep the ids' native JSON type: integer ids come back as bigint
+        # so the frame joins the source tables without implicit casts
+        # (pre-ANSI Spark coerces string = bigint to DOUBLE — lossy past
+        # 2^53, i.e. silently wrong joins on large ids; session-8 review
+        # fix). Mixed/other types fall back to strings as before.
+        all_int = all(
+            isinstance(a, int) and isinstance(b, int)
+            and not isinstance(a, bool) and not isinstance(b, bool)
+            for a, b in tuples
+        )
+        if all_int:
+            return spark.createDataFrame(tuples, "id_1 bigint, id_2 bigint")
         return spark.createDataFrame(
             [(str(a), str(b)) for a, b in tuples], "id_1 string, id_2 string"
         )

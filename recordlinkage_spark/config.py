@@ -48,11 +48,18 @@ class EngineConfig:
     # ``df.writeTo(<namespace>.<stage>)`` and records the committed
     # snapshot id in the manifest, so resume pins to a snapshot rather
     # than a directory. See DedupPipeline._write_stage for the seam.
-    stage_format: str = os.environ.get("SPARK_GRAFT_STAGE_FORMAT", "parquet")
-    iceberg_namespace: str = os.environ.get("SPARK_GRAFT_ICEBERG_NS", "dedup")
+    # default_factory, not a plain default: env vars are read when the
+    # CONFIG IS BUILT, so a driver can set SPARK_GRAFT_* after importing
+    # this module (a plain default froze the value at import time; a bad
+    # SPARK_GRAFT_SHUFFLE even crashed the import — session-8 review fix)
+    stage_format: str = field(default_factory=lambda: os.environ.get(
+        "SPARK_GRAFT_STAGE_FORMAT", "parquet"))
+    iceberg_namespace: str = field(default_factory=lambda: os.environ.get(
+        "SPARK_GRAFT_ICEBERG_NS", "dedup"))
 
     # --- shuffle / skew -----------------------------------------------------
-    shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    shuffle_partitions: int = field(default_factory=lambda: int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))
     salt_buckets: int = 16       # salting factor for hot band keys
 
     # --- classifier ---------------------------------------------------------

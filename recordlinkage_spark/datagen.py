@@ -111,7 +111,6 @@ def webtext_corpus_pandas(
     rng = np.random.RandomState(seed)
     n_orig = max(int(n_docs * (1 - dup_fraction)), 1)
     docs: list[dict] = []
-    cluster_of: dict[str, int] = {}
     originals: list[list[str]] = []
     base_ts = dt.datetime(2024, 3, 1)
 
@@ -127,7 +126,6 @@ def webtext_corpus_pandas(
             "_cluster": i,
             "_dup_kind": "original",
         })
-        cluster_of[url] = i
 
     for j in range(n_docs - n_orig):
         src = int(rng.randint(0, n_orig))
@@ -160,7 +158,6 @@ def webtext_corpus_pandas(
             "_cluster": src,
             "_dup_kind": kind,
         })
-        cluster_of[url] = src
 
     corpus = pd.DataFrame(docs)
     corpus["html"] = [
@@ -181,9 +178,17 @@ def webtext_corpus_pandas(
                 (u1, k1), (u2, k2) = members[i], members[j]
                 hi, lo = (u1, u2) if u1 > u2 else (u2, u1)
                 # pair kind: identical texts only when both sides are the
-                # original or exact copies of it
+                # original or exact copies of it. 'span' is reserved for
+                # pairs with a GUARANTEED >=50-token shared run — a span
+                # dup vs the original or vs a byte-identical exact copy.
+                # Two span dups may keep DISJOINT windows of the original
+                # (and a near dup's edits can fall inside the window), so
+                # those pairs are 'span_weak': cluster-implied but not
+                # detectable by any pass in general — keep them out of
+                # pass-level recall denominators (session-8 review fix).
                 if "span" in (k1, k2):
-                    kind = "span"
+                    other = k2 if k1 == "span" else k1
+                    kind = "span" if other in ("original", "exact") else "span_weak"
                 elif {k1, k2} <= {"original", "exact"}:
                     kind = "exact"
                 else:
@@ -310,8 +315,19 @@ def webtext_corpus_distributed(
         .select(
             "url_1",
             "url_2",
+            # same kind rules as the pandas twin: 'span' only when the
+            # >=50-token shared run is GUARANTEED (span vs original/exact);
+            # span-vs-near/span pairs are 'span_weak' (session-8 fix)
             F.when(
-                (F.col("k1") == "span") | (F.col("k2") == "span"), F.lit("span")
+                ((F.col("k1") == "span") | (F.col("k2") == "span"))
+                & F.col("k1").isin("original", "exact", "span")
+                & F.col("k2").isin("original", "exact", "span")
+                & ~((F.col("k1") == "span") & (F.col("k2") == "span")),
+                F.lit("span"),
+            )
+            .when(
+                (F.col("k1") == "span") | (F.col("k2") == "span"),
+                F.lit("span_weak"),
             )
             .when(
                 F.col("k1").isin("original", "exact")

@@ -17,6 +17,7 @@ frames.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,8 +93,22 @@ def load_krebsregister(
             target = Path(p).with_suffix(".csv")
             if not target.exists():
                 with zipfile.ZipFile(p) as z:
-                    name = z.namelist()[0]
-                    target.write_bytes(z.read(name))
+                    # pick the first real CSV member, not namelist()[0]
+                    # blindly (archives may lead with directories or
+                    # metadata entries)
+                    members = [
+                        m for m in z.namelist()
+                        if m.lower().endswith(".csv") and not m.endswith("/")
+                    ] or [m for m in z.namelist() if not m.endswith("/")]
+                    if not members:
+                        raise ValueError(f"{p}: no extractable file in archive")
+                    # atomic publish: write to a temp sibling then rename,
+                    # so a concurrent reader of the shared data_dir never
+                    # sees (and then permanently caches) a half-written
+                    # CSV (session-8 review fix)
+                    tmp = target.with_name(target.name + f".tmp{os.getpid()}")
+                    tmp.write_bytes(z.read(members[0]))
+                    os.replace(tmp, target)
             csv_paths.append(str(target))
         paths = csv_paths
     raw = (

@@ -25,19 +25,32 @@ def reduction_ratio(pairs: DataFrame, n_a: int, n_b: int | None = None) -> float
     return 1.0 - pairs.count() / full_index_size(n_a, n_b)
 
 
+# The reference's MultiIndex algebra is SET-semantic; the projections are
+# deduped before counting so a pred/truth frame carrying duplicate pair
+# rows (e.g. a union of two passes without dropDuplicates) cannot inflate
+# the counts — raw join counts let recall exceed 1.0 and drove
+# confusion_matrix's derived TN negative (session-8 review fix).
+# true_negatives below was already set-semantic via distinct().
+
 def true_positives(truth: DataFrame, pred: DataFrame) -> int:
     """|truth ∩ pred| (measures.py:123-145) — inner join count."""
-    return truth.select(PAIR).join(pred.select(PAIR), PAIR, "inner").count()
+    return truth.select(PAIR).distinct().join(
+        pred.select(PAIR).distinct(), PAIR, "inner"
+    ).count()
 
 
 def false_positives(truth: DataFrame, pred: DataFrame) -> int:
     """|pred − truth| (measures.py:180-204) — left-anti join count."""
-    return pred.select(PAIR).join(truth.select(PAIR), PAIR, "left_anti").count()
+    return pred.select(PAIR).distinct().join(
+        truth.select(PAIR), PAIR, "left_anti"
+    ).count()
 
 
 def false_negatives(truth: DataFrame, pred: DataFrame) -> int:
     """|truth − pred| (measures.py:207-231)."""
-    return truth.select(PAIR).join(pred.select(PAIR), PAIR, "left_anti").count()
+    return truth.select(PAIR).distinct().join(
+        pred.select(PAIR), PAIR, "left_anti"
+    ).count()
 
 
 def true_negatives(truth: DataFrame, pred: DataFrame, total: int) -> int:

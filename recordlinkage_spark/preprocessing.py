@@ -66,9 +66,17 @@ def clean(
         out = F.regexp_replace(out, replace_by_none, "")
     if replace_by_whitespace:
         out = F.regexp_replace(out, replace_by_whitespace, " ")
-    out = F.regexp_replace(out, r"\s\s+", " ")
+    # (?U) = Java UNICODE_CHARACTER_CLASS: Java's \s is ASCII-only while
+    # the reference runs Python/pandas regexes whose \s (and
+    # lstrip/rstrip) are Unicode-aware — without the flag, U+00A0-style
+    # whitespace survives the collapse/strip here but not in
+    # clean_pandas, breaking the byte-identity invariant whenever
+    # replace_by_none doesn't already remove it (session-8 review fix)
+    out = F.regexp_replace(out, r"(?U)\s\s+", " ")
     # pandas lstrip/rstrip strips all whitespace, not just spaces
-    out = F.regexp_replace(F.regexp_replace(out, r"^\s+", ""), r"\s+$", "")
+    out = F.regexp_replace(
+        F.regexp_replace(out, r"(?U)^\s+", ""), r"(?U)\s+$", ""
+    )
     return out
 
 

@@ -145,8 +145,12 @@ class SimHash:
         optional Spark accumulator counting dropped oversize buckets."""
         from recordlinkage_spark.minhash import bucket_pairs
 
-        # persisted: feeds the chunk explode and the hamming gathers
-        sigs = self.signatures(df, id_col, text_col).persist()
+        # localCheckpoint (lazy), not persist: feeds the chunk explode and
+        # the hamming gathers; checkpoint blocks are ContextCleaner-
+        # collected once the result is unreferenced — persist() leaked one
+        # CacheManager entry per call (session-8 review fix, same recipe
+        # as verified_pairs / NeighbourhoodBlock).
+        sigs = self.signatures(df, id_col, text_col).localCheckpoint(eager=False)
         width = 64 // self.blocks
         mask = (1 << width) - 1
         chunks = sigs.select(

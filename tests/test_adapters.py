@@ -137,3 +137,27 @@ def test_zero_match_training_raises(spark, vectors):
     empty_truth = feats.select("id_1", "id_2").limit(0)
     with pytest.raises(ValueError, match="zero matches"):
         SKLearnClassifierAdapter(NumpyLogReg(), pickle_by_value=True).fit(feats, empty_truth)
+
+
+def test_supervised_fit_nulls_become_nan(spark):
+    """A null feature value must reach the wrapped model as NaN like the
+    unsupervised path, not crash with float(None) (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark.adapters import SKLearnClassifierAdapter
+
+    class CaptureModel:
+        def fit(self, X, y):
+            self.X = X
+            return self
+
+        def predict(self, X):
+            return np.zeros(len(X))
+
+    feats = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, None)], "id_1 int, id_2 int, f_a double"
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_1 int, id_2 int")
+    model = CaptureModel()
+    SKLearnClassifierAdapter(model).fit(feats, truth)
+    assert np.isnan(model.X).sum() == 1

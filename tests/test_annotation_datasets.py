@@ -130,3 +130,34 @@ def test_krebsregister_loader(spark, tmp_path):
         load_krebsregister(spark, str(tmp_path), block=11)
     with pytest.raises(FileNotFoundError):
         load_krebsregister(spark, str(tmp_path), block=3)
+
+
+def test_write_annotation_file_missing_id_raises(spark, tmp_path):
+    """A pair whose id is absent from the record frames must fail fast —
+    the inner join previously dropped it silently, so a human labeled a
+    truncated candidate set (session-8 review fix)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    pairs = spark.createDataFrame([(1, 2), (1, 99)], "id_1 bigint, id_2 bigint")
+    with pytest.raises(ValueError, match="missing"):
+        annotation.write_annotation_file(tmp_path / "f.json", pairs, df)
+
+
+def test_annotation_integer_ids_round_trip(spark, tmp_path):
+    """Integer ids must come back as bigint from links_df, not strings —
+    a string=bigint join coerces to double, lossy past 2^53 (session-8
+    review fix)."""
+    big = 2**53 + 3
+    df = spark.createDataFrame(
+        [(big, "a"), (big + 1, "b")], "id bigint, name string"
+    )
+    pairs = spark.createDataFrame(
+        [(big, big + 1)], "id_1 bigint, id_2 bigint"
+    )
+    fp = tmp_path / "ann.json"
+    annotation.write_annotation_file(fp, pairs, df)
+    d = json.loads(fp.read_text())
+    d["pairs"][0]["label"] = 1
+    fp.write_text(json.dumps(d))
+    links = annotation.read_annotation_file(fp).links_df(spark)
+    assert dict(links.dtypes) == {"id_1": "bigint", "id_2": "bigint"}
+    assert links.collect()[0]["id_1"] == big

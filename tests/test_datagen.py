@@ -28,7 +28,7 @@ def test_webtext_corpus_distributed_deterministic(spark):
     )
     assert d1.count() == 500
     kinds = {r["kind"] for r in t1.select("kind").distinct().collect()}
-    assert kinds <= {"exact", "near", "span"}
+    assert kinds <= {"exact", "near", "span", "span_weak"}
     # exact dups really are byte-identical to their original
     ex = t1.filter("kind = 'exact'").limit(5)
     txt = d1.select(F.col("url").alias("url_1"), F.col("text").alias("t1"))
@@ -59,3 +59,25 @@ def test_binary_vectors_stats(spark):
         .collect()[0]["u"]
     )
     assert u1 == pytest.approx(0.19, abs=0.03)
+
+
+def test_span_truth_pairs_guarantee_shared_run(spark):
+    """Every truth pair labeled 'span' must actually share a >=50-token
+    contiguous run; non-guaranteed dup-dup pairs are 'span_weak'
+    (session-8 review fix — two span dups may keep disjoint windows)."""
+    docs, truth = webtext_corpus(spark, n_docs=300, dup_fraction=0.4, seed=7)
+    texts = {r["url"]: r["text"].split() for r in docs.collect()}
+
+    def has_run(a, b, k=50):
+        if len(a) < k or len(b) < k:
+            return False
+        grams = {tuple(a[i:i + k]) for i in range(len(a) - k + 1)}
+        return any(tuple(b[i:i + k]) in grams for i in range(len(b) - k + 1))
+
+    span_pairs = [
+        (r["url_1"], r["url_2"])
+        for r in truth.filter("kind = 'span'").collect()
+    ]
+    assert span_pairs
+    for u1, u2 in span_pairs:
+        assert has_run(texts[u1], texts[u2]), (u1, u2)

@@ -43,7 +43,7 @@ def test_minhash_verified_precision(corpus):
     docs, truth = corpus
     lsh = MinHashLSH(num_perm=128, bands=32, rows=4, shingle_size=3)
     verified = lsh.verified_pairs(docs, "url", "text", threshold=0.5)
-    t = _pair_truth(truth, ["exact", "near", "span"])
+    t = _pair_truth(truth, ["exact", "near", "span", "span_weak"])
     fp = measures.false_positives(t, verified)
     # verified pairs at jaccard>=0.5 on random-vocab docs: essentially no FPs
     assert fp <= verified.count() * 0.02

@@ -54,3 +54,20 @@ def test_cluster_pair_recall(spark):
     )
     # (2,1) ok, (3,1) ok, (5,4) split -> recall 2/3
     assert measures.cluster_pair_recall(truth, clusters) == pytest.approx(2 / 3)
+
+
+def test_counts_are_set_semantic(spark):
+    """Duplicate pair rows in pred/truth must not inflate TP/FP/FN — the
+    reference's MultiIndex algebra is set-semantic (session-8 review
+    fix; raw join counts let recall exceed 1.0)."""
+    t = spark.createDataFrame([(1, 2), (3, 4)], "id_1 int, id_2 int")
+    p_dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (5, 6), (5, 6)], "id_1 int, id_2 int"
+    )
+    assert measures.true_positives(t, p_dup) == 1
+    assert measures.false_positives(t, p_dup) == 1
+    t_dup = t.union(t)
+    assert measures.false_negatives(t_dup, p_dup) == 1
+    tp = measures.true_positives(t_dup, p_dup)
+    fn = measures.false_negatives(t_dup, p_dup)
+    assert measures.recall(tp, fn) <= 1.0

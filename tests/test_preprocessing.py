@@ -99,3 +99,21 @@ def test_phonetic_match_rating(spark):
 def test_phonetic_unknown_method(spark):
     with pytest.raises(ValueError, match="not known"):
         prep.phonetic(F.col("raw"), "nope")
+
+
+def test_clean_unicode_whitespace_byte_identity(spark):
+    """Java's \\s is ASCII-only; the reference's Python/pandas whitespace
+    handling is Unicode-aware. With replace_by_none disabled, a U+00A0
+    must still collapse/strip identically on both sides (session-8
+    review fix: (?U) flag on the whitespace regexes)."""
+    vals = ["a  b", " lead", "trail ", "x  y"]
+    pdf = pd.Series(vals)
+    want = prep.clean_pandas(pdf, replace_by_none=None).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r["c"]
+        for r in df.select(
+            prep.clean(F.col("s"), replace_by_none=None).alias("c")
+        ).collect()
+    ]
+    assert got == want

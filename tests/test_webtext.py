@@ -651,3 +651,19 @@ def test_url_host_trailing_root_dot_stripped(spark):
         ).alias("r")
     ).first()["r"]
     assert reason == "host"
+
+
+def test_engine_config_env_read_at_build_time(monkeypatch):
+    """SPARK_GRAFT_* env vars must take effect when EngineConfig() is
+    BUILT, not when the module was first imported (session-8 review fix:
+    default_factory instead of import-time defaults)."""
+    from recordlinkage_spark.config import EngineConfig
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_FORMAT", "iceberg")
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "7")
+    cfg = EngineConfig()
+    assert cfg.stage_format == "iceberg"
+    assert cfg.shuffle_partitions == 7
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_FORMAT")
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
+    assert EngineConfig().stage_format == "parquet"
