@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -858,8 +858,11 @@ def q_webtext_e2e(spark, sf):
             "recall", _r6(F.col("found_pairs") / F.col("true_pairs"))
         )
     )
+    # null-SAFE compare: a regressed extractor that returns NULL for some
+    # rows must count as a mismatch, not vanish from the sum (plain !=
+    # yields NULL, which sum ignores)
     mism = docs.agg(
-        F.sum((F.col("text") != F.col("_orig")).cast("int"))
+        F.sum((~F.col("text").eqNullSafe(F.col("_orig"))).cast("int"))
         .alias("extract_mismatches")
     )
     return per_kind.crossJoin(mism).select(
@@ -894,8 +897,12 @@ def q_embedding_near_dup_lsh(spark, sf):
     from recordlinkage_spark import ann
 
     emb = _t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    out = ann.embedding_near_dup_pairs(emb, dim=dim, threshold=0.35, bits=4, tables=8)
+    first = emb.select("embedding").filter(F.col("embedding").isNotNull()).first()
+    if first is None:  # empty table: empty result, not a TypeError
+        return spark.createDataFrame([], "id_1 bigint, id_2 bigint, cosine double")
+    out = ann.embedding_near_dup_pairs(
+        emb, dim=len(first["embedding"]), threshold=0.35, bits=4, tables=8
+    )
     return out.select("id_1", "id_2", _r6(F.col("cosine")).alias("cosine"))
 
 
@@ -1780,12 +1787,19 @@ def oracle_sql() -> dict[str, str]:
             f AS (
               SELECT doc_id,
                 length(text) AS n_chars,
-                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
-                  / length(text) AS punct_ratio,
-                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                    t -> list_contains([{stop_list}], t)))::DOUBLE
-                  / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text)
+                           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / length(text)
+                END AS punct_ratio,
+                CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> list_contains([{stop_list}], t)))::DOUBLE
+                          / len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS stopword_ratio
               FROM documents
             ),
             q AS (
@@ -1892,12 +1906,19 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (
               SELECT doc_id,
                 length(text) AS n_chars,
-                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
-                  / length(text) AS punct_ratio,
-                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                    t -> list_contains([{stop_list}], t)))::DOUBLE
-                  / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text)
+                           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / length(text)
+                END AS punct_ratio,
+                CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> list_contains([{stop_list}], t)))::DOUBLE
+                          / len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS stopword_ratio
               FROM documents
             )
             SELECT doc_id,
@@ -2136,23 +2157,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM c3)
               WHERE c = best GROUP BY doc_id, best
             )
+            -- every ratio mirrors the Spark side's _safe_div (0.0 when
+            -- the denominator is 0): an unguarded x/0 is NULL in DuckDB,
+            -- which would false-red the hash on an empty/whitespace doc
             SELECT f.doc_id,
               len(l) AS n_lines,
-              round((len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
-                AS dup_line_frac,
-              round((list_aggregate(list_transform(l, x -> length(x)), 'sum')
-                     - list_aggregate(list_transform(list_distinct(l),
-                                      x -> length(x)), 'sum'))::DOUBLE
-                    / list_aggregate(list_transform(l, x -> length(x)), 'sum'),
-                    6) AS dup_line_char_frac,
-              round(coalesce(b2.best * length(b2.bestg), 0)::DOUBLE
-                    / length(txt), 6) AS top_2gram_char_frac,
-              round(coalesce(b3.best * length(b3.bestg), 0)::DOUBLE
-                    / length(txt), 6) AS top_3gram_char_frac,
-              round(list_aggregate(list_transform(w, x -> length(x)),
-                                   'sum')::DOUBLE / len(w), 6) AS mean_word_len,
-              round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-                    ::DOUBLE / len(w), 6) AS alpha_word_frac
+              CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                round((len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
+              END AS dup_line_frac,
+              CASE WHEN coalesce(list_aggregate(list_transform(l,
+                     x -> length(x)), 'sum'), 0) = 0 THEN 0.0 ELSE
+                round((list_aggregate(list_transform(l, x -> length(x)), 'sum')
+                       - list_aggregate(list_transform(list_distinct(l),
+                                        x -> length(x)), 'sum'))::DOUBLE
+                      / list_aggregate(list_transform(l, x -> length(x)), 'sum'),
+                      6)
+              END AS dup_line_char_frac,
+              CASE WHEN length(txt) = 0 THEN 0.0 ELSE
+                round(coalesce(b2.best * length(b2.bestg), 0)::DOUBLE
+                      / length(txt), 6)
+              END AS top_2gram_char_frac,
+              CASE WHEN length(txt) = 0 THEN 0.0 ELSE
+                round(coalesce(b3.best * length(b3.bestg), 0)::DOUBLE
+                      / length(txt), 6)
+              END AS top_3gram_char_frac,
+              CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                round(list_aggregate(list_transform(w, x -> length(x)),
+                                     'sum')::DOUBLE / len(w), 6)
+              END AS mean_word_len,
+              CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                      ::DOUBLE / len(w), 6)
+              END AS alpha_word_frac
             FROM feat f
             LEFT JOIN b2 USING (doc_id)
             LEFT JOIN b3 USING (doc_id)
