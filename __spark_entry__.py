@@ -2612,8 +2612,10 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                        END)::BIGINT AS total_tokens,
                    count(DISTINCT lang) AS n_langs,
-                   round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
-                     AS exact_dup_rate
+                   CASE WHEN count(*) = 0 THEN 0.0 ELSE
+                     round((count(text) - count(DISTINCT md5(text)))::DOUBLE
+                           / count(*), 6)
+                   END AS exact_dup_rate
             FROM documents
         """,
         "unigram_logprob": """

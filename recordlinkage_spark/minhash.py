@@ -206,11 +206,8 @@ def make_signature_udf(
         # useful threshold granularity
         sh32 = (grams >> np.uint64(32)).astype(np.uint32)
         shv, shc = textfns.distinct_per_doc_np(sh32, counts)
-        sh_series = pd.Series(
-            [None if na else seg for seg, na in zip(
-                np.split(shv.view(np.int32), np.cumsum(shc)[:-1]), isna)],
-            dtype=object,
-        )
+        sh_series = textfns.segments_to_series(shv, shc, isna,
+                                               view_dtype=np.int32)
         fpv, fpc = winnow_fingerprints_np(flat, lengths, span_tokens, winnow_window)
         fp_series = textfns.segments_to_series(fpv, fpc, isna)
         bands_col = pd.Series(
@@ -352,6 +349,18 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
     return expand
 
 
+def band_key_expr(band_hash_col) -> Column:
+    """THE band bucket key: top 32 bits of the (band-index-salted) band
+    hash, cast to int. One definition on purpose — run-time bucketing
+    (candidate_pairs), the incremental band store, the batch-vs-store
+    join, and truncation_metrics must key identically or the metrics
+    describe buckets the run never used and stores stop matching
+    batches. A truncation collision only ADDS candidates the verify
+    stage discards."""
+    col = F.col(band_hash_col) if isinstance(band_hash_col, str) else band_hash_col
+    return F.shiftright(col, 32).cast("int")
+
+
 def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
                  id_type: str, dropped_acc=None) -> DataFrame:
     """(id, *key_cols) -> distinct in-bucket (id_1, id_2) pairs via ONE
@@ -361,11 +370,22 @@ def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
     embedding-LSH passes. Pass a Spark accumulator as ``dropped_acc`` to
     count dropped oversize buckets (skew observability)."""
     spark = rows.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under vendor AQE auto-tuning
+        n_part = spark.sparkContext.defaultParallelism
     grouped = rows.repartition(n_part, *key_cols).sortWithinPartitions(*key_cols)
     expand = _make_bucket_pair_expander(cap, tuple(key_cols), dropped_acc)
     pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
-    return pairs.dropDuplicates(["id_1", "id_2"])
+    # id_1 != id_2: one doc can occupy TWO rows of a bucket (two of its
+    # band hashes truncating to the same band_key, or a duplicated input
+    # id) and the expander pairs every row combination — without the
+    # filter a self-pair (x, x) survives dropDuplicates, scores
+    # jaccard 1.0, and lands in matches (session-8 review fix)
+    return (
+        pairs.filter(F.col("id_1") != F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+    )
 
 
 def pairs_against_bands(
@@ -409,10 +429,31 @@ def pairs_against_bands(
         new_sizes.filter(F.col("_nn") > max_bucket_size).select("band_key"),
         "band_key", "left_anti",
     )
-    touched = store_bands.join(ok_new.select("band_key").distinct(), "band_key")
+    # localCheckpoint (lazy): touched feeds both the bucket-size
+    # aggregate and the join probe below — without it the store
+    # semi-join subtree evaluates twice per action (session-8 review
+    # fix). Bounded: touched holds only store rows on the batch's keys.
+    touched = store_bands.join(
+        ok_new.select("band_key").distinct(), "band_key"
+    ).localCheckpoint(eager=False)
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
-    kept_keys = sizes.filter(F.col("_n") <= max_bucket_size)
-    hits = touched.join(kept_keys.select("band_key"), "band_key")
+    hot_keys = sizes.filter(F.col("_n") > max_bucket_size).select("band_key")
+    if dropped_acc is not None:
+        # count the dropped STORE-side keys into the same accumulator the
+        # within-batch expander uses — silently uncounted drops would
+        # report dropped_buckets=0 while recall was lost (session-8
+        # review fix). Disjoint from the expander's count by
+        # construction: a new-hot key never reaches `touched` at all.
+        # Same task-retry approximation caveat as every accumulator.
+        key_type = dict(store_bands.dtypes)["band_key"]
+
+        def _count_hot(batches):
+            for pdf in batches:
+                dropped_acc.add(len(pdf))
+                yield pdf
+
+        hot_keys = hot_keys.mapInPandas(_count_hot, f"band_key {key_type}")
+    hits = touched.join(hot_keys, "band_key", "left_anti")
     cross = (
         ok_new.select("band_key", F.col("id").alias("_nid"))
         .join(hits.select("band_key", F.col("id").alias("_sid")), "band_key")
@@ -500,8 +541,8 @@ def plan_lsh(
     computed decision instead of folklore defaults.
 
     Returns a dict with the chosen ``bands``/``rows``, the achieved
-    ``recall_at_threshold``, ``fp_area``, the curve midpoint
-    ``s50 ≈ (1/bands)^(1/rows)`` (where p = 1 - (1-1/b)^b ≈ 0.63), and
+    ``recall_at_threshold``, ``fp_area``, the curve midpoint ``s50``
+    (the exact similarity where p(s) = 0.5), and
     ``meets_target``. When NO factorization reaches the target the
     max-recall plan is returned with ``meets_target=False`` — raise
     ``num_perm`` (more bands at the same rows) and re-plan.
@@ -526,7 +567,11 @@ def plan_lsh(
                 "rows": rows,
                 "recall_at_threshold": float(recall),
                 "fp_area": fp_area,
-                "s50": (1.0 / bands) ** (1.0 / rows) if bands > 1 else 0.0,
+                # exact half-probability midpoint: solve
+                # 1-(1-s^r)^b = 0.5 (the old (1/b)^(1/r) approximation
+                # returned 0.0 for single-band plans and ~the 63% point
+                # elsewhere — session-8 review fix)
+                "s50": (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows),
             }
         )
     feasible = [p for p in plans if p["recall_at_threshold"] >= target_recall]
@@ -672,7 +717,7 @@ class MinHashLSH:
         # key collision, so the expected recall loss is O(hot_buckets /
         # 2^32) per band — negligible next to the LSH miss rate itself.
         bands = self.bands_table(df, id_col, text_col).select(
-            "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+            "id", band_key_expr("band_hash").alias("band_key")
         )
         id_type = df.schema[id_col].dataType.simpleString()
         return bucket_pairs(bands, ["band_key"], self.max_bucket_size, id_type,
@@ -708,14 +753,20 @@ class MinHashLSH:
         ``bands_table`` or the compact (id, band_key int) form; both accept.
         Returns distinct (id_1 > id_2) pairs where at least one side is new.
         """
+        # localCheckpoint (lazy): pairs_against_bands consumes new_bands
+        # on four plan branches (within-batch expander, hot-key sizing,
+        # the anti-join, the cross probe) — without a materialization the
+        # fused tokenize+sign Arrow UDF would re-run the whole batch ~4x
+        # per action (session-8 review fix; run_incremental avoids this
+        # by materializing its signature stage first).
         new_bands = self.bands_table(new_df, id_col, text_col).select(
-            "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
-        )
+            "id", band_key_expr("band_hash").alias("band_key")
+        ).localCheckpoint(eager=False)
         id_type = new_df.schema[id_col].dataType.simpleString()
         store = store_bands
         if "band_key" not in store.columns:
             store = store.select(
-                "id", F.shiftright("band_hash", 32).cast("int").alias("band_key")
+                "id", band_key_expr("band_hash").alias("band_key")
             )
         return pairs_against_bands(
             new_bands, store, id_type, self.max_bucket_size,
@@ -762,7 +813,7 @@ class MinHashLSH:
         actually dropped (session-8 review fix)."""
         bands = self.bands_table(df, id_col, text_col)
         sizes = bands.groupBy(
-            F.shiftright("band_hash", 32).cast("int").alias("band_key")
+            band_key_expr("band_hash").alias("band_key")
         ).agg(F.count("*").alias("_n"))
         row = sizes.agg(
             F.count("*").alias("buckets"),

@@ -65,8 +65,10 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     bytes of the biggest shuffle, and a key collision only ADDS candidates
     the verify stage discards. One copy for the same reason as
     :func:`_signature_frame`."""
+    from recordlinkage_spark.minhash import band_key_expr
+
     return sig.select("id", F.explode("bands").alias("_bh")).select(
-        "id", F.shiftright("_bh", 32).cast("int").alias("band_key")
+        "id", band_key_expr("_bh").alias("band_key")
     )
 
 

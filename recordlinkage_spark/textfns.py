@@ -201,12 +201,16 @@ def flat_token_hashes_np(texts: pd.Series):
 def gram_hashes_np(flat: np.ndarray, lengths: np.ndarray, n: int):
     """Word-n-gram hashes per doc over the flat token-hash array.
 
-    Semantics match :func:`gram_hashes` (the JVM variant): a doc with
-    ``len > n`` emits ``len-n+1`` position-order grams (NOT deduped — call
-    :func:`distinct_per_doc_np` when set semantics are needed); a doc with
-    ``0 <= len <= n`` emits ONE hash folding all tokens from 0 (empty doc
-    -> [0]) so short docs still index. Null docs (length 0 *and* masked by
-    the caller) are the caller's business — here len==0 emits [0].
+    WINDOWING semantics match :func:`gram_hashes` (the JVM variant): a doc
+    with ``len > n`` emits ``len-n+1`` position-order grams (NOT deduped —
+    call :func:`distinct_per_doc_np` when set semantics are needed); a doc
+    with ``0 <= len <= n`` emits ONE hash folding all tokens from 0 (empty
+    doc -> [0]) so short docs still index. The HASH DOMAIN does NOT match:
+    this kernel rolls rot13-xor over the caller's token hashes while the
+    JVM variant xxhash64's gram strings and dedups — the two are not
+    interchangeable, so a pass must verify candidates against shingles
+    produced by the SAME kernel. Null docs (length 0 *and* masked by the
+    caller) are the caller's business — here len==0 emits [0].
 
     Returns ``(grams, counts)``: flat uint64 grams + per-doc gram counts.
     """
@@ -265,11 +269,13 @@ def distinct_per_doc_np(vals: np.ndarray, counts: np.ndarray):
     return sv[keep], new_counts.astype(np.int64)
 
 
-def segments_to_series(vals: np.ndarray, counts: np.ndarray, isna: np.ndarray) -> pd.Series:
-    """Pack a flat segmented int64-viewable array back into a Series of
-    per-doc arrays (None where isna)."""
+def segments_to_series(vals: np.ndarray, counts: np.ndarray, isna: np.ndarray,
+                       view_dtype=np.int64) -> pd.Series:
+    """Pack a flat segmented array back into a Series of per-doc arrays
+    (None where isna), reinterpreted as ``view_dtype`` (int64 for the
+    bigint columns, int32 for the truncated shingle sets)."""
     bounds = np.cumsum(counts)[:-1]
-    segs = np.split(vals.view(np.int64), bounds)
+    segs = np.split(vals.view(view_dtype), bounds)
     return pd.Series(
         [None if na else seg for seg, na in zip(segs, isna)], dtype=object
     )
@@ -605,6 +611,7 @@ def corpus_stats(
     t = F.col(text_col)
     aggs = [
         F.count("*").cast("long").alias("n_docs"),
+        F.count(t).cast("long").alias("_n_text_docs"),
         F.countDistinct(F.md5(t)).alias("n_distinct_texts"),
         F.sum(F.length(t)).cast("long").alias("total_chars"),
         F.round(F.avg(F.length(t)), 6).alias("mean_chars"),
@@ -614,12 +621,22 @@ def corpus_stats(
         ).alias("n_langs"),
     ]
     out = df.agg(*aggs)
+    # dup rate = excess copies among docs that HAVE text, over all docs:
+    # countDistinct ignores nulls, so subtracting from n_docs would count
+    # every null-text row as a "duplicate"; the n_docs>0 guard keeps an
+    # empty health-check input from raising DIVIDE_BY_ZERO under ANSI
+    # mode (session-8 review fixes)
     return out.withColumn(
         "exact_dup_rate",
-        F.round(
-            1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6
-        ),
-    )
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                (F.col("_n_text_docs") - F.col("n_distinct_texts"))
+                / F.col("n_docs"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    ).drop("_n_text_docs")
 
 
 def unigram_logprob(
@@ -661,9 +678,13 @@ def unigram_logprob(
         F.col(id_col),
         F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
+    # localCheckpoint (lazy): counts feeds BOTH the totals.collect()
+    # below and the vocab top-K inside the scored plan — without it the
+    # most expensive job (explode + corpus-wide token aggregate) runs
+    # twice per call (session-8 review fix)
     counts = toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     # (c desc, tok asc) is a total order over distinct tokens, so the
     # first V rows are exactly the rows a rank-<=-V filter would keep
     vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)

@@ -336,3 +336,45 @@ def test_pairs_against_bands_caps_new_side(spark):
     # hot new key 1 (6 rows > cap 5) contributes nothing on either path
     assert "s1" not in involved and "s2" not in involved
     assert got == {("nb", "na"), ("sa", "na"), ("sa", "nb")}
+
+
+def test_bucket_pairs_no_self_pairs(spark):
+    """A doc occupying two rows of one bucket (duplicate id, or two of
+    its band hashes truncating to the same band_key) must not emit a
+    self-pair (x, x) — it would verify at jaccard 1.0 (session-8 review
+    fix)."""
+    from recordlinkage_spark.minhash import bucket_pairs
+
+    rows = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1)], "id string, band_key int"
+    )
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in bucket_pairs(rows, ["band_key"], 10, "string").collect()
+    }
+    assert got == {("b", "a")}
+
+
+def test_pairs_against_bands_counts_store_side_drops(spark):
+    """A key hot on the STORE side only is dropped from the cross join —
+    that drop must land in dropped_acc like every other truncation
+    (session-8 review fix: silently uncounted drops read as 'no
+    truncation happened')."""
+    from recordlinkage_spark.minhash import pairs_against_bands
+
+    mk = spark.createDataFrame
+    new = mk([("n1", 1), ("n2", 2)], "id string, band_key int")
+    store = mk(
+        [(f"s{i}", 1) for i in range(6)] + [("sa", 2)],
+        "id string, band_key int",
+    )
+    acc = spark.sparkContext.accumulator(0)
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in pairs_against_bands(
+            new, store, "string", 5, dropped_acc=acc
+        ).collect()
+    }
+    # key 1 (6 store rows > cap 5) dropped and counted; key 2 pairs
+    assert got == {("sa", "n2")}
+    assert acc.value == 1

@@ -78,9 +78,9 @@ def test_default_config_picks_32x4():
     assert (plan["bands"], plan["rows"]) == (32, 4)
     assert plan["meets_target"]
     assert plan["recall_at_threshold"] > 0.99
-    # s50 sanity: p(s50) ~ 1 - (1 - 1/b)^b in (0.6, 0.65) for b=32
+    # s50 is the exact half-probability midpoint: p(s50) == 0.5
     p_at_s50 = lsh_candidate_probability(plan["s50"], 32, 4)
-    assert 0.6 < p_at_s50 < 0.65
+    assert abs(p_at_s50 - 0.5) < 1e-9
 
 
 def test_fp_area_bounds():

@@ -88,3 +88,21 @@ def test_bind_once_semantics(spark):
     ).collect()
     for row in got:
         assert row["bound"] == row["captured"]
+
+
+def test_corpus_stats_null_text_and_empty(spark):
+    """Null-text rows must not count as duplicates (countDistinct skips
+    nulls, so the old n_docs-based rate overstated), and an empty input
+    must yield dup rate 0.0 instead of ANSI DIVIDE_BY_ZERO (session-8
+    review fix)."""
+    from recordlinkage_spark.textfns import corpus_stats
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, None)],
+        "doc_id int, text string",
+    )
+    row = corpus_stats(df, "text").collect()[0]
+    assert row["n_docs"] == 4 and row["n_distinct_texts"] == 2
+    assert row["exact_dup_rate"] == 0.0
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert corpus_stats(empty, "text").collect()[0]["exact_dup_rate"] == 0.0
