@@ -161,7 +161,10 @@ def cluster_cosine_edges(
     ``dropDuplicates`` pass is needed — unlike the multi-table LSH path.
     """
     spark = assigned.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under vendor AQE auto-tuning
+        n_part = spark.sparkContext.defaultParallelism
     id_type = dict(assigned.dtypes)["id"]
     grouped = (
         assigned.repartition(n_part, "list_id")

@@ -47,12 +47,19 @@ def streaming_exact_dedup(
     ``dropDuplicatesWithinWatermark`` keys state by fingerprint and evicts
     entries older than the watermark — bounded state, late data beyond the
     watermark is emitted rather than silently joined (document this to
-    downstream consumers)."""
-    return (
-        with_fingerprint(stream, text_col)
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
-    )
+    downstream consumers).
+
+    Null-text rows (extraction failures) have a NULL fingerprint; the
+    state store groups null keys as EQUAL, so deduping them would keep
+    one arbitrary failure row per horizon and silently drop the rest.
+    They bypass the dedup and pass through unchanged — the same
+    nulls-don't-pair contract as every batch signature path (session-8
+    review fix)."""
+    fp = with_fingerprint(stream, text_col).withWatermark(ts_col, watermark)
+    deduped = fp.filter(
+        F.col("fingerprint").isNotNull()
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return deduped.unionByName(fp.filter(F.col("fingerprint").isNull()))
 
 
 def streaming_minhash_signatures(

@@ -113,9 +113,19 @@ def winnow_fingerprints_np(flat: np.ndarray, lengths: np.ndarray,
         pos = np.nonzero(roll_doc[:W] == roll_doc[window - 1:])[0]
         d = roll_doc[pos]
         out[out_starts[d] + (pos - roll_starts[d])] = sw_min[pos]
-    # docs with 1 <= m <= window: one fingerprint = min of the segment
-    for d in np.nonzero((m > 0) & (m <= window))[0]:
-        out[out_starts[d]] = flat_roll[roll_starts[d]:roll_ends[d]].min()
+    # docs with 1 <= m <= window emit ONE fingerprint = min of the
+    # segment — vectorized across docs via a segmented gather +
+    # reduceat (the per-doc Python loop here dominated batches of
+    # span..span+window-1-token docs, a large share of real webtext;
+    # session-8 review fix, differentially tested vs the naive kernel)
+    short = np.nonzero((m > 0) & (m <= window))[0]
+    if len(short):
+        Ls = m[short]
+        seg_ends = np.cumsum(Ls)
+        seg_starts = seg_ends - Ls
+        r = np.arange(int(Ls.sum())) - np.repeat(seg_starts, Ls)
+        vals = flat_roll[np.repeat(roll_starts[short], Ls) + r]
+        out[out_starts[short]] = np.minimum.reduceat(vals, seg_starts)
 
     return textfns.distinct_per_doc_np(out, sel_counts)
 
@@ -154,9 +164,20 @@ def winnow_fingerprint_positions_np(flat: np.ndarray, lengths: np.ndarray,
         ).argmin(axis=1)
         pos = np.nonzero(roll_doc[:W] == roll_doc[window - 1:])[0]
         sel[pos + frame_argmin[pos]] = True
-    for d in np.nonzero((m > 0) & (m <= window))[0]:
-        s, e = roll_starts[d], roll_ends[d]
-        sel[s + int(flat_roll[s:e].argmin())] = True
+    # short docs: leftmost argmin per segment, vectorized like the
+    # values kernel (session-8 review fix)
+    short = np.nonzero((m > 0) & (m <= window))[0]
+    if len(short):
+        Ls = m[short]
+        seg_ends = np.cumsum(Ls)
+        seg_starts = seg_ends - Ls
+        r = np.arange(int(Ls.sum())) - np.repeat(seg_starts, Ls)
+        vals = flat_roll[np.repeat(roll_starts[short], Ls) + r]
+        mins = np.minimum.reduceat(vals, seg_starts)
+        rmask = np.where(vals == np.repeat(mins, Ls), r,
+                         np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(rmask, seg_starts)
+        sel[roll_starts[short] + first] = True
 
     idx = np.nonzero(sel)[0]
     d = roll_doc[idx]
@@ -352,7 +373,9 @@ class FingerprintSubstring:
         """Candidates + exact longest-common-token-run verification
         (:func:`longest_common_run_batch_np` — DP rows vectorized across
         the whole Arrow batch, not per pair)."""
-        min_span = min_span or self.span_tokens
+        # `is not None`, not `or`: an explicit min_span=0 means "all
+        # candidate pairs with their true common span" (session-8 fix)
+        min_span = min_span if min_span is not None else self.span_tokens
         cands = self.candidate_pairs(df, id_col, text_col)
         # localCheckpoint (lazy), NOT persist: toks is consumed by both
         # join branches (avoids re-tokenizing each doc once per probed

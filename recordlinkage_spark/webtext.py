@@ -506,10 +506,13 @@ def dedup_lines_within_doc(
             )
         ),
     )
+    # coalesce ALL counts, not only chars_removed: for null text the
+    # fold/size yield NULL, but the documented line_dedup output contract
+    # is zero counts with text_deduped NULL (session-8 review fix)
     return {
         "text_deduped": F.array_join(folded["kept"], join_sep),
-        "n_lines": F.size(lines).cast("long"),
-        "n_removed": folded["n_removed"],
+        "n_lines": F.coalesce(F.size(lines).cast("long"), zero),
+        "n_removed": F.coalesce(folded["n_removed"], zero),
         "chars_removed": F.coalesce(folded["chars_removed"], zero),
     }
 
@@ -740,6 +743,9 @@ def dedup_url_keep_latest(
 
     Output: one row per key with columns ``(key_col, n_crawls, *df.columns)``
     — the full surviving row plus how many crawls collapsed into it.
+    Rows whose url (canonical) is NULL are unrelated failure records, not
+    recrawls — they pass through ungrouped (``key_col`` NULL,
+    ``n_crawls`` 1) instead of collapsing into one survivor.
 
     Determinism contract: the winner is the lexicographic MAX of the
     struct ``(ts, <non-binary columns in df order>, <binary columns>)``,
@@ -774,15 +780,27 @@ def dedup_url_keep_latest(
         F.col(ts_col).alias("_ts"),
         *[F.col(c).alias(c) for c in cmp_order],
     )
+    keyed = df.select(key_expr.alias(key_col), pick.alias("_pick"))
     agg = (
-        df.select(key_expr.alias(key_col), pick.alias("_pick"))
+        keyed.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(
             F.max("_pick").alias("_pick"),
             F.count("*").cast("long").alias("n_crawls"),
         )
     )
-    return agg.select(
+    out = agg.select(
         key_col, "n_crawls",
         *[F.col("_pick")[c].alias(c) for c in payload],
     )
+    # null-url rows (fetch/parse failures kept for audit) are UNRELATED
+    # documents, not recrawls of one page: groupBy would fold them into
+    # the single null key and keep exactly one, silently deleting the
+    # rest. They pass through ungrouped with n_crawls=1 (session-8
+    # review fix).
+    nulls = df.filter(key_expr.isNull()).select(
+        F.lit(None).cast("string").alias(key_col),
+        F.lit(1).cast("long").alias("n_crawls"),
+        *payload,
+    )
+    return out.unionByName(nulls)

@@ -229,3 +229,35 @@ def test_foreach_batch_retry_idempotent(spark, tmp_path):
         for r in spark.read.parquet(pairs_out).select("id_1", "id_2").collect()
     }
     assert got == {("b", "a"), ("c", "a"), ("c", "b")}
+
+
+def test_streaming_exact_dedup_null_text_passthrough(spark, tmp_path):
+    """Null-text rows share a NULL fingerprint; the state store groups
+    null keys as equal, so without the bypass only ONE failure row per
+    horizon would survive (session-8 review fix)."""
+    import datetime as dt
+
+    rows = [
+        ("u1", dt.datetime(2024, 3, 1, 0, 0), "same text"),
+        ("u2", dt.datetime(2024, 3, 1, 0, 1), "same text"),
+        ("u3", dt.datetime(2024, 3, 1, 0, 2), None),
+        ("u4", dt.datetime(2024, 3, 1, 0, 3), None),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(str(src))
+    out = streaming.streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("null_fp_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["url"] for r in spark.sql("select url from null_fp_sink").collect()}
+    # one of the duplicate texts deduped away; BOTH null-text rows kept
+    assert {"u3", "u4"} <= got
+    assert len(got & {"u1", "u2"}) == 1

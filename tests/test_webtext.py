@@ -667,3 +667,42 @@ def test_engine_config_env_read_at_build_time(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_STAGE_FORMAT")
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
     assert EngineConfig().stage_format == "parquet"
+
+
+def test_dedup_url_keep_latest_null_urls_pass_through(spark):
+    """Null-url rows are unrelated failure records, not recrawls of one
+    page — groupBy's single null key must not collapse them (session-8
+    review fix)."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", 1, "a1"),
+            ("https://a.example.com/x", 2, "a2"),
+            (None, 1, "n1"),
+            (None, 2, "n2"),
+        ],
+        "url string, ts int, text string",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts") * 3600)).drop("ts")
+    out = webtext.dedup_url_keep_latest(df, url_col="url", ts_col="warc_ts")
+    rows = out.collect()
+    assert len(rows) == 3  # one survivor for the url, BOTH null-url rows
+    null_rows = [r for r in rows if r["url_key"] is None]
+    assert {r["text"] for r in null_rows} == {"n1", "n2"}
+    assert all(r["n_crawls"] == 1 for r in null_rows)
+    keyed = [r for r in rows if r["url_key"] is not None]
+    assert keyed[0]["text"] == "a2" and keyed[0]["n_crawls"] == 2
+
+
+def test_dedup_lines_within_doc_null_text_zero_counts(spark):
+    """Null text: text_deduped NULL with ZERO counts — the documented
+    line_dedup output contract (session-8 review fix: n_lines/n_removed
+    previously came back NULL)."""
+    d = webtext.dedup_lines_within_doc(F.col("text"))
+    row = (
+        spark.createDataFrame([(None,)], "text string")
+        .select(*[v.alias(k) for k, v in d.items()])
+        .collect()[0]
+    )
+    assert row["text_deduped"] is None
+    assert row["n_lines"] == 0
+    assert row["n_removed"] == 0
+    assert row["chars_removed"] == 0
