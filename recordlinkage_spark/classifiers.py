@@ -147,8 +147,11 @@ def _collect_labeled_stats(features: DataFrame, truth: DataFrame,
     LogReg/NB/SVM previously each carried a verbatim clone, so a fix to
     one silently missed the others. Returns ``(X, y01, wts)`` with
     ``y01`` the 0/1 float labels (callers remap: SVM to ±1)."""
+    # distinct(): a duplicated truth pair would fan out the left join and
+    # double that feature row's training weight — the reference's
+    # MultiIndex intersection is set-semantic (session-8 review fix)
     labeled = features.join(
-        truth.select(PAIR).withColumn("_y", F.lit(1)), PAIR, "left"
+        truth.select(PAIR).distinct().withColumn("_y", F.lit(1)), PAIR, "left"
     ).fillna({"_y": 0})
     _guard_discrete(features, cols)
     grouped = labeled.groupBy(*cols, "_y").count().collect()
@@ -372,6 +375,17 @@ class ECMClassifier(BaseClassifier, _NBModel):
             with np.errstate(divide="ignore", invalid="ignore"):
                 class_log_prior = np.log(g_freq_sum) - np.log(n_total)
                 feature_log_prob = np.log(g_freq.T @ X_bin) - np.log(g_freq_sum[:, None])
+            # floor -inf (a zero-mass indicator, e.g. a CONSTANT feature
+            # column whose inverted indicator is identically 0): left in
+            # place, the next E-step's jll matmul computes 0 * -inf = NaN
+            # for every vector, the NaN guard fires, and EM silently
+            # halts after ONE iteration regardless of max_iter. The
+            # floored weight is only multiplied by x_bin values that are
+            # 0 wherever the true weight was -inf-relevant, so fits that
+            # never hit -inf are bit-identical (session-8 review fix).
+            feature_log_prob = np.where(
+                np.isneginf(feature_log_prob), -745.0, feature_log_prob
+            )
             close = np.allclose(
                 np.exp(class_log_prior), np.exp(self.class_log_prior_), atol=self.atol
             ) and np.allclose(
@@ -418,9 +432,16 @@ class ECMClassifier(BaseClassifier, _NBModel):
                 # (identically 0 in training), not for agreement.
                 out[col] = 1.0 if classes[0] == 1 else 0.0
             elif k == 2:
-                # second indicator corresponds to the larger class value
-                idx = int(np.where(classes == 1)[0][0]) if 1 in classes else 1
-                out[col] = float(probs[idx])
+                if 1 in classes:
+                    # indicator position of the value-1 class
+                    idx = int(np.where(classes == 1)[0][0])
+                    out[col] = float(probs[idx])
+                else:
+                    # 1 is not a possible value of this column (e.g.
+                    # classes {0, 2}): P(value==1) is 0 by inspection,
+                    # not the probability of some other class
+                    # (session-8 review fix)
+                    out[col] = 0.0
             else:
                 out[col] = {float(cv): float(pv) for cv, pv in zip(classes, probs)}
             pos += width

@@ -24,7 +24,13 @@ class OneToManyLinking:
 
     def compute(self, pairs: DataFrame, order_col: str = "seq") -> DataFrame:
         key = "id_1" if self.level == 0 else "id_2"
-        w = Window.partitionBy(key).orderBy(order_col)
+        # (id_1, id_2) tiebreak: row_number over order_col alone breaks
+        # order_col ties by partition arrival order — same input,
+        # different survivor across runs. Same determinization as
+        # OneToOneLinking's struct-min key (session-8 review fix).
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col), F.col("id_1"), F.col("id_2")
+        )
         return (
             pairs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -170,7 +176,13 @@ class OneToOneLinking:
 
     def compute(self, pairs: DataFrame, order_col: str = "seq") -> DataFrame:
         spark = pairs.sparkSession
-        sel = pairs.select("id_1", "id_2", order_col)
+        # localCheckpoint (lazy) before the size probe, like
+        # ConnectedComponents.compute: count() executes a lazy caller's
+        # upstream DAG and the chosen path would re-run it in full
+        # (session-8 review fix)
+        sel = pairs.select("id_1", "id_2", order_col).localCheckpoint(
+            eager=False
+        )
         n = sel.count()
         if self.driver_threshold and n <= self.driver_threshold:
             return self._compute_driver(sel, order_col)
@@ -388,6 +400,7 @@ class ConnectedComponents:
         src = np.concatenate([s, d])
         dst = np.concatenate([d, s])
         lab = np.arange(len(uniq), dtype=np.int64)
+        converged = False
         for _ in range(self.max_iter):
             new = lab.copy()
             np.minimum.at(new, src, lab[dst])   # min over neighbor labels
@@ -398,8 +411,17 @@ class ConnectedComponents:
                     break
                 new = nn
             if (new == lab).all():
+                converged = True
                 break
             lab = new
+        if not converged:
+            # same failure contract as the distributed loop (which
+            # raises): silently returning a partial labeling would split
+            # one component across cluster_ids (session-8 review fix)
+            raise RuntimeError(
+                f"connected components did not converge in "
+                f"{self.max_iter} iterations"
+            )
         out = pd.DataFrame({"id": uniq, "cluster_id": uniq[lab]})
         return spark.createDataFrame(out)
 

@@ -53,7 +53,13 @@ def _signature_frame(
         cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
         cfg.span_tokens, cfg.winnow_window,
     )
-    return df.select(
+    # null ids cannot participate in id-keyed dedup: after a recrawl
+    # collapse with null-url passthrough rows (dedup_url_keep_latest),
+    # a null id reaching the bucket expander crashes numpy's pair
+    # canonicalization (np.maximum over None) — and a pair involving an
+    # unidentifiable doc would be meaningless anyway. Such rows stay
+    # visible in the 'collapsed' stage output (session-8 review fix).
+    return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
     ).select("id", "_sig.*")
 
@@ -153,8 +159,7 @@ class DedupPipeline:
             t0 = time.time()
             df = build()
             out, location, snap = self._write_stage(spark, name, df)
-            n = out.count()
-            self._record(name, n, time.time() - t0, out)
+            n = self._record(name, t0, out)
             self._manifest[name] = {
                 "path": location, "rows": n,
                 "format": self.config.stage_format, "snapshot_id": snap,
@@ -163,16 +168,32 @@ class DedupPipeline:
             return out
         t0 = time.time()
         df = build().localCheckpoint()
-        self._record(name, df.count(), time.time() - t0, df)
+        self._record(name, t0, df)
         return df
 
-    def _record(self, stage: str, rows: int, secs: float, df: DataFrame) -> None:
-        self.metrics.append({"stage": stage, "rows": rows, "secs": round(secs, 3)})
+    def _record(self, stage: str, t0: float, df: DataFrame) -> int:
+        """Record (metrics row, lineage table) for one stage; returns the
+        stage row count. ONE scan serves both the count and the
+        per-partition lineage — the previous shape (count() plus a
+        lineage groupBy) read every stage table twice (session-8 review
+        fix)."""
         if self.work_dir:
-            lineage = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-                F.count("*").alias("rows")
+            spark = df.sparkSession
+            parts = df.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(F.count("*").alias("rows")).collect()
+            n = int(sum(r["rows"] for r in parts))
+            lineage = spark.createDataFrame(
+                [(int(r["partition_id"]), int(r["rows"])) for r in parts],
+                "partition_id int, rows long",
             ).withColumn("stage", F.lit(stage))
             lineage.write.mode("append").parquet(str(self.work_dir / "_lineage"))
+        else:
+            n = df.count()
+        self.metrics.append(
+            {"stage": stage, "rows": n, "secs": round(time.time() - t0, 3)}
+        )
+        return n
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """The run's per-stage metrics (rows, seconds, dropped-bucket
@@ -225,6 +246,11 @@ class DedupPipeline:
 
         spark = records.sparkSession
         self._load_manifest()
+        # metrics describe THIS run: without the reset, reusing one
+        # pipeline object across work_dirs mixed stale stage rows into
+        # metrics_df() (the manifest gets the same treatment in
+        # _load_manifest; session-8 review fix)
+        self.metrics = []
         cfg = self.config
 
         out_extra: dict[str, DataFrame] = {}
@@ -434,6 +460,7 @@ class DedupPipeline:
 
         spark = new_records.sparkSession
         self._load_manifest()
+        self.metrics = []  # per-run surface, same as run()
         cfg = self.config
 
         out: dict[str, DataFrame] = {}

@@ -290,3 +290,72 @@ def test_predict_coefficient_length_mismatch_raises(spark):
     svm.intercept = 0.0
     with _pytest.raises(ValueError, match="coefficients"):
         svm.predict(feats).collect()
+
+
+def test_ecm_constant_column_em_continues(spark):
+    """A constant feature column previously produced a -inf weight whose
+    0 * -inf = NaN halted EM after one iteration; the floored weight
+    keeps every parameter finite and EM running (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark.classifiers import ECMClassifier
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    is_m = rng.rand(n) < 0.2
+    f1 = np.where(is_m, rng.rand(n) < 0.9, rng.rand(n) < 0.1).astype(float)
+    f2 = np.where(is_m, rng.rand(n) < 0.85, rng.rand(n) < 0.15).astype(float)
+    rows = [
+        (i, i + n, float(a), float(b), 1.0)
+        for i, (a, b) in enumerate(zip(f1, f2))
+    ]
+    feats = spark.createDataFrame(
+        rows, "id_1 int, id_2 int, f_1 double, f_2 double, f_const double"
+    )
+    clf = ECMClassifier().fit(feats)
+    assert np.isfinite(clf.feature_log_prob_).all()
+    # the constant column must be a no-op: same converged prior and the
+    # same m/u probabilities on the informative columns as a fit WITHOUT
+    # it (pre-fix, EM halted after one M-step with the init-shaped
+    # parameters still in place)
+    ref = ECMClassifier().fit(feats.drop("f_const"))
+    assert clf.n_iter_ == ref.n_iter_
+    assert np.allclose(clf.class_log_prior_, ref.class_log_prior_)
+    for c in ("f_1", "f_2"):
+        assert abs(clf.m_probs[c] - ref.m_probs[c]) < 1e-12
+        assert abs(clf.u_probs[c] - ref.u_probs[c]) < 1e-12
+
+
+def test_fs_views_binary_column_without_value_one():
+    """classes {0, 2}: P(value==1) is 0 by inspection, not the fitted
+    probability of value 2 (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark.classifiers import ECMClassifier
+
+    clf = ECMClassifier()
+    clf._cols = ["f_02"]
+    clf.classes_list = [np.array([0.0, 2.0])]
+    clf.feature_log_prob_ = np.log(np.array([[0.4, 0.6], [0.7, 0.3]]))
+    clf.class_log_prior_ = np.log(np.array([0.5, 0.5]))
+    assert clf.m_probs["f_02"] == 0.0 and clf.u_probs["f_02"] == 0.0
+
+
+def test_supervised_fit_truth_duplicates_ignored(spark):
+    """Duplicated truth pairs must not double a feature row's training
+    weight — the reference's MultiIndex intersection is set-semantic
+    (session-8 review fix)."""
+    import numpy as np
+
+    from recordlinkage_spark.classifiers import LogisticRegressionClassifier
+
+    rows = [(i, i + 1000, float(i % 2), float((i * 3) % 2)) for i in range(200)]
+    feats = spark.createDataFrame(rows, "id_1 int, id_2 int, f_a double, f_b double")
+    truth = spark.createDataFrame(
+        [(i, i + 1000) for i in range(0, 200, 2)], "id_1 int, id_2 int"
+    )
+    c1 = LogisticRegressionClassifier().fit(feats, truth).coefficients
+    c2 = LogisticRegressionClassifier().fit(
+        feats, truth.union(truth)
+    ).coefficients
+    assert np.allclose(c1, c2)

@@ -378,3 +378,42 @@ def test_pairs_against_bands_counts_store_side_drops(spark):
     # key 1 (6 store rows > cap 5) dropped and counted; key 2 pairs
     assert got == {("sa", "n2")}
     assert acc.value == 1
+
+
+def test_pipeline_null_url_rows_excluded_from_dedup(spark):
+    """Null-url failure records pass the recrawl collapse through
+    ungrouped; they must be EXCLUDED from the id-keyed dedup (a null id
+    reaching the pair expander crashed numpy's canonicalization) while
+    staying visible in the collapsed output (session-8 review fix)."""
+    rows = [
+        ("https://a.example.com/x", 1, "the quick brown fox jumps over it"),
+        ("https://a.example.com/x", 2, "the quick brown fox jumps over it"),
+        (None, 1, "identical error page text body"),
+        (None, 2, "identical error page text body"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, ts int, text string"
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts") * 3600)).drop("ts")
+    cfg = EngineConfig(num_perm=32, lsh_bands=8, lsh_rows=4)
+    pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
+    out = pipe.run(docs, id_col="url", text_col="text",
+                   ts_col="warc_ts", canonicalize_urls=False)
+    assert out["collapsed"].count() == 3  # survivor + BOTH null-url rows
+    assert out["signatures"].filter(F.col("id").isNull()).count() == 0
+
+
+def test_pipeline_metrics_reset_per_run(spark, tmp_path):
+    """metrics_df describes THE run — reusing one object across
+    work_dirs must not mix stale stage rows in (session-8 review fix)."""
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"doc text number {i} with tokens") for i in range(30)],
+        "url string, text string",
+    )
+    cfg = EngineConfig(num_perm=32, lsh_bands=8, lsh_rows=4)
+    pipe = DedupPipeline(cfg, work_dir=str(tmp_path / "r1"),
+                         jaccard_threshold=0.5)
+    pipe.run(docs, id_col="url", text_col="text")
+    pipe.work_dir = tmp_path / "r2"
+    pipe.run(docs, id_col="url", text_col="text")
+    stages = [m["stage"] for m in pipe.metrics if "rows" in m]
+    assert len(stages) == len(set(stages))  # each stage exactly once

@@ -253,3 +253,31 @@ class TestSelectRepresentatives:
         out = select_representatives(clusters, attrs, id_col="doc_id")
         reps = {r["doc_id"] for r in out.filter("is_representative").collect()}
         assert reps == {"a1", "b1", "lone"}
+
+
+def test_one_to_many_tie_deterministic(spark):
+    """Equal order_col values must resolve by (id_1, id_2), not partition
+    arrival order (session-8 review fix)."""
+    from recordlinkage_spark.network import OneToManyLinking
+
+    rows = [(1, j, 7) for j in range(20, 0, -1)]  # all seq tied
+    for parts in (2, 7):
+        pairs = spark.createDataFrame(
+            rows, "id_1 int, id_2 int, seq int"
+        ).repartition(parts)
+        got = OneToManyLinking(level=0).compute(pairs).collect()
+        assert len(got) == 1 and got[0]["id_2"] == 1
+
+
+def test_cc_driver_raises_on_non_convergence(spark):
+    """The driver fast path must fail loudly like the distributed loop
+    instead of returning a partial labeling (session-8 review fix)."""
+    import pytest as _pytest
+
+    from recordlinkage_spark.network import ConnectedComponents
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_1 int, id_2 int"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        ConnectedComponents(max_iter=1).compute(edges).collect()
