@@ -214,6 +214,75 @@ def main() -> None:
             runs[name].append(round(time.time() - t0, 3))
 
     timings = {name: min(samples) for name, samples in runs.items()}
+
+    # --- incremental vs rebuild (VERDICT r4 "Next round" #5) ---------------
+    # Two-snapshot experiment at ~400k store + ~100k new docs, run ONCE
+    # after the round-robin (it is minutes-scale, and the claim is a RATIO
+    # whose two sides share the same host minute, so best-of-N would double
+    # bench time for no robustness). Record: ingesting a new snapshot via
+    # run_incremental (crawl-vs-store: the corpus is touched only through
+    # its persisted signature store) vs re-running the full pipeline over
+    # old ∪ new, at equal planted-dup recall. Skip with
+    # SPARK_GRAFT_BENCH_INCR=0.
+    incremental = None
+    if os.environ.get("SPARK_GRAFT_BENCH_INCR", "1") != "0":
+        from recordlinkage_spark import measures
+        from recordlinkage_spark.datagen import webtext_corpus_distributed
+
+        n_total = int(os.environ.get("SPARK_GRAFT_BENCH_INCR_DOCS", "500000"))
+        corpus, truth = webtext_corpus_distributed(
+            spark, n_docs=n_total, dup_fraction=0.3, seed=42,
+            partitions=slots * 2,
+        )
+        corpus = corpus.select("doc_id", "url", "text").cache()
+        n_corpus = corpus.count()
+        # deterministic ~20% "new snapshot" slice (hash split, like the
+        # equivalence gate in tests/test_incremental_flow.py)
+        is_new = F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(5)) == 0
+        base_docs = corpus.filter(~is_new)
+        new_docs = corpus.filter(is_new).cache()
+        n_new = new_docs.count()
+
+        t0 = time.time()
+        full_out = DedupPipeline(cfg, jaccard_threshold=0.5).run(
+            corpus, id_col="doc_id", text_col="text")
+        full_out["clusters"].count()
+        rebuild_secs = round(time.time() - t0, 3)
+
+        # store build: amortized once per corpus lifetime, timed for
+        # transparency but NOT part of the per-snapshot cost
+        t0 = time.time()
+        base_out = DedupPipeline(cfg, jaccard_threshold=0.5).run(
+            base_docs, id_col="doc_id", text_col="text")
+        base_out["clusters"].count()
+        store_secs = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        inc_out = DedupPipeline(cfg, jaccard_threshold=0.5).run_incremental(
+            new_docs, base_out["signatures"], base_out["clusters"],
+            id_col="doc_id", text_col="text")
+        inc_out["clusters"].count()
+        inc_secs = round(time.time() - t0, 3)
+
+        t_pairs = truth.filter(F.col("kind").isin(["exact", "near"])).select(
+            F.col("url_1").alias("id_1"), F.col("url_2").alias("id_2"))
+        id_map = corpus.select("doc_id", "url")
+
+        def _recall(clusters):
+            c = clusters.join(id_map, "doc_id").select(
+                F.col("url").alias("id"), "cluster_id")
+            return round(measures.cluster_pair_recall(t_pairs, c, id_col="id"), 5)
+
+        incremental = {
+            "n_store": n_corpus - n_new,
+            "n_new": n_new,
+            "rebuild_secs": rebuild_secs,
+            "store_build_secs": store_secs,
+            "incremental_secs": inc_secs,
+            "speedup_vs_rebuild": round(rebuild_secs / inc_secs, 2),
+            "recall_rebuild": _recall(full_out["clusters"]),
+            "recall_incremental": _recall(inc_out["clusters"]),
+        }
     # Stop Spark BEFORE the post-probe: a worked JVM — even one sitting
     # idle after its last job — costs the probe child ~5x (measured
     # 385k vs 2.1M rows/s seconds apart, the only variable being
@@ -248,6 +317,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_dedup": round(n_docs / timings["dedup_pipeline"], 1),
         "lsh_neardup_recall": round(min(recalls), 4) if recalls else None,
+        "incremental": incremental,
         "cpus": cpus,
         "task_slots": slots,
         "repeats": REPEATS,

@@ -459,10 +459,13 @@ def ivf_train(
     ``sample_rows`` vectors — the same bounded-unique-statistics shape as
     the classifier fits (classifiers.py); assignment of the FULL corpus
     is the distributed pass (``ivf_assign``)."""
-    total = df.count()
-    if total == 0:
-        raise ValueError("ivf_train: empty corpus")
     sample = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    # total over the NULL-FILTERED frame: sizing the hash-threshold
+    # prefilter by the raw row count on a null-heavy corpus kept
+    # ~nonnull/total of the intended sample (ADVICE r4)
+    total = sample.count()
+    if total == 0:
+        raise ValueError("ivf_train: empty corpus (no non-null vectors)")
     if total > sample_rows:
         h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
         frac = min(1.0, (sample_rows * 1.25) / total)

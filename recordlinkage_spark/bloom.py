@@ -55,6 +55,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from recordlinkage_spark.caching import pin
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -272,7 +273,7 @@ def dedup_against(
         # probe over the full snapshot. localCheckpoint (lazy) computes the
         # probe once; blocks are ContextCleaner-collected when the result
         # is unreferenced. (exact=False consumes it once — no checkpoint.)
-        flagged = flagged.localCheckpoint(eager=False)
+        flagged = pin(flagged)
     negatives = flagged.filter(~F.col("_might")).drop("_fp", "_might")
     if not exact:
         return negatives

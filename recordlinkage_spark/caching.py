@@ -1,0 +1,49 @@
+"""Materialize-once helper for the engine's lineage-truncation points.
+
+Every iterative / multi-consumer stage in this package needs to (a) compute
+an expensive subtree exactly once and (b) TRUNCATE lineage so driver-side
+loops (connected components, greedy linking) don't grow the logical plan
+without bound. ``persist()`` satisfies (a) but not (b), and its CacheManager
+entries outlive the DataFrame reference (the session-6 leak this package
+moved away from). The two Spark primitives that satisfy both:
+
+- ``localCheckpoint`` (the default here): blocks live on executor local
+  storage. Fast (no distributed FS write), and the ContextCleaner drops the
+  blocks when the DataFrame is unreferenced. **Caveat (ADVICE r4): the
+  blocks are NOT recomputable** — lineage is gone, so losing an executor
+  (crash, decommission, dynamic-allocation scale-in) fails the job instead
+  of recomputing. Spark's own docs advise against it with dynamic
+  allocation. Fine for local mode and static clusters with
+  ``spark.decommission`` off; not for elastic clusters.
+- reliable ``checkpoint``: blocks go to ``spark.checkpoint.dir`` (set it
+  first, e.g. an HDFS/S3 path), survive executor loss, and still truncate
+  lineage. The right mode for 1000-executor elastic clusters; costs one
+  distributed write per pin.
+
+The mode is a session conf so deployments flip it without code changes::
+
+    spark.conf.set("spark.recordlinkage.pin.mode", "reliable")
+    spark.sparkContext.setCheckpointDir("s3://bucket/checkpoints")
+
+Values: ``local`` (default) | ``reliable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+PIN_MODE_CONF = "spark.recordlinkage.pin.mode"
+
+
+def pin(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize ``df`` once and truncate its lineage.
+
+    ``eager=False`` defers the materialization to the first action (the
+    common shape here: pin, then probe with ``count()``); ``eager=True``
+    materializes now (iterative loops that must bound the plan before the
+    next round builds on it).
+    """
+    mode = df.sparkSession.conf.get(PIN_MODE_CONF, "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

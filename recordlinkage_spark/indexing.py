@@ -27,6 +27,7 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from recordlinkage_spark.caching import pin
 
 PAIR_COLS = ("id_1", "id_2")
 
@@ -293,8 +294,8 @@ class NeighbourhoodBlock(BaseIndexAlgorithm):
         # ContextCleaner-collected once the returned plan is
         # unreferenced — persist() leaked two CacheManager entries per
         # index() call for the session lifetime (session-8 review fix).
-        ranks_l = ranks_l.localCheckpoint(eager=False)
-        ranks_r = ranks_r.localCheckpoint(eager=False)
+        ranks_l = pin(ranks_l)
+        ranks_r = pin(ranks_r)
 
         if self.max_nulls + self.max_non_matches >= n:
             cands = ranks_l.select("id_1").crossJoin(ranks_r.select("id_2"))

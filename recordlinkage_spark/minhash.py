@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from recordlinkage_spark import textfns
+from recordlinkage_spark.caching import pin
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio mix constant
 
@@ -400,9 +401,11 @@ def pairs_against_bands(
     new-vs-store pairs via the touched-key capped join — the store is
     semi-joined to the batch's distinct keys first, so it never shuffles
     in full (partition-pruned when the store is bucketed on band_key).
-    Keys over ``max_bucket_size`` on EITHER side are dropped from the
-    cross join (boilerplate protection, matching the within-batch
-    expander's cap). Key-column dtype is caller's
+    Keys whose COMBINED (new + store) bucket exceeds ``max_bucket_size``
+    are dropped from the cross join (boilerplate protection; the combined
+    cap matches ``streaming.foreach_batch_dedup`` — per-side caps would
+    still let a key at the cap on BOTH sides expand to ~cap^2 pairs,
+    ADVICE r4). Key-column dtype is caller's
     choice — the LSH path uses 32-bit int band keys, the winnowing path
     64-bit fingerprints renamed to ``band_key``.
 
@@ -433,18 +436,28 @@ def pairs_against_bands(
     # aggregate and the join probe below — without it the store
     # semi-join subtree evaluates twice per action (session-8 review
     # fix). Bounded: touched holds only store rows on the batch's keys.
-    touched = store_bands.join(
+    touched = pin(store_bands.join(
         ok_new.select("band_key").distinct(), "band_key"
-    ).localCheckpoint(eager=False)
+    ))
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
-    hot_keys = sizes.filter(F.col("_n") > max_bucket_size).select("band_key")
+    # combined cap: the store side of a key plus the batch rows that will
+    # join it must fit in one bucket (streaming.foreach_batch_dedup's
+    # rule). sizes' keys are a subset of new_sizes' keys, so inner join.
+    hot_keys = (
+        sizes.join(new_sizes, "band_key")
+        .filter(F.col("_n") + F.col("_nn") > max_bucket_size)
+        .select("band_key")
+    )
     if dropped_acc is not None:
-        # count the dropped STORE-side keys into the same accumulator the
-        # within-batch expander uses — silently uncounted drops would
+        # count the dropped combined-hot keys into the same accumulator
+        # the within-batch expander uses — silently uncounted drops would
         # report dropped_buckets=0 while recall was lost (session-8
         # review fix). Disjoint from the expander's count by
         # construction: a new-hot key never reaches `touched` at all.
-        # Same task-retry approximation caveat as every accumulator.
+        # Same task-retry approximation caveat as every accumulator; the
+        # pin() below also stops the count re-incrementing on every
+        # action a lazy caller runs over the result (ADVICE r4 — the
+        # un-pinned mapInPandas re-executed per action).
         key_type = dict(store_bands.dtypes)["band_key"]
 
         def _count_hot(batches):
@@ -452,7 +465,7 @@ def pairs_against_bands(
                 dropped_acc.add(len(pdf))
                 yield pdf
 
-        hot_keys = hot_keys.mapInPandas(_count_hot, f"band_key {key_type}")
+        hot_keys = pin(hot_keys.mapInPandas(_count_hot, f"band_key {key_type}"))
     hits = touched.join(hot_keys, "band_key", "left_anti")
     cross = (
         ok_new.select("band_key", F.col("id").alias("_nid"))
@@ -759,9 +772,9 @@ class MinHashLSH:
         # fused tokenize+sign Arrow UDF would re-run the whole batch ~4x
         # per action (session-8 review fix; run_incremental avoids this
         # by materializing its signature stage first).
-        new_bands = self.bands_table(new_df, id_col, text_col).select(
+        new_bands = pin(self.bands_table(new_df, id_col, text_col).select(
             "id", band_key_expr("band_hash").alias("band_key")
-        ).localCheckpoint(eager=False)
+        ))
         id_type = new_df.schema[id_col].dataType.simpleString()
         store = store_bands
         if "band_key" not in store.columns:
@@ -790,9 +803,7 @@ class MinHashLSH:
         # full signature UDF + shuffle + pair expansion twice (session-8
         # review fix; same contract as the pipeline, which materializes
         # candidates as a stage before verifying).
-        cands = self.candidate_pairs(df, id_col, text_col).localCheckpoint(
-            eager=False
-        )
+        cands = pin(self.candidate_pairs(df, id_col, text_col))
         n_cand = cands.count()
         sh = self.with_shingles(df, text_col).select(
             F.col(id_col).alias("id"), F.col("_sh")

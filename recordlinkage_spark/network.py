@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from recordlinkage_spark.caching import pin
 
 
 class OneToManyLinking:
@@ -152,25 +153,25 @@ class OneToOneLinking:
             keyed = alive.withColumn("_k", key)
             ma = keyed.groupBy("id_1").agg(F.min("_k").alias("_ka"))
             mb = keyed.groupBy("id_2").agg(F.min("_k").alias("_kb"))
-            wins = (
+            wins = pin(
                 keyed.join(ma, "id_1").join(mb, "id_2")
                 .filter((F.col("_k") == F.col("_ka"))
                         & (F.col("_k") == F.col("_kb")))
-                .select("id_1", "id_2", order_col)
-                .localCheckpoint()
+                .select("id_1", "id_2", order_col),
+                eager=True,
             )
             if wins.limit(1).count() == 0:
                 break
-            kept = wins if kept is None else kept.union(wins).localCheckpoint()
+            kept = wins if kept is None else pin(kept.union(wins), eager=True)
             # re-assert column order: a join moves its key to the FIRST
             # column, and every downstream createDataFrame(pandas, schema)
             # maps positionally — without this select the id_2-keyed
             # anti-join silently swaps id_1/id_2
-            alive = (
+            alive = pin(
                 alive.join(wins.select("id_1"), "id_1", "left_anti")
                 .join(wins.select("id_2"), "id_2", "left_anti")
-                .select("id_1", "id_2", order_col)
-                .localCheckpoint()
+                .select("id_1", "id_2", order_col),
+                eager=True,
             )
         return alive, kept
 
@@ -180,9 +181,7 @@ class OneToOneLinking:
         # ConnectedComponents.compute: count() executes a lazy caller's
         # upstream DAG and the chosen path would re-run it in full
         # (session-8 review fix)
-        sel = pairs.select("id_1", "id_2", order_col).localCheckpoint(
-            eager=False
-        )
+        sel = pin(pairs.select("id_1", "id_2", order_col))
         n = sel.count()
         if self.driver_threshold and n <= self.driver_threshold:
             return self._compute_driver(sel, order_col)
@@ -198,7 +197,7 @@ class OneToOneLinking:
         # (accepted pairs accumulate as a checkpointed DataFrame union,
         # not a driver concat — ADVICE r3).
         K = self.driver_threshold or 5_000_000
-        remaining = sel.localCheckpoint()
+        remaining = pin(sel, eager=True)
         n_rem = n
         kept_total: DataFrame | None = None
         while n_rem > 0:
@@ -249,10 +248,10 @@ class OneToOneLinking:
                 tk = spark.createDataFrame(tangle_kept, schema=sel.schema)
                 accepted = tk if accepted is None else accepted.union(tk)
             if accepted is not None:
-                accepted = accepted.localCheckpoint()
+                accepted = pin(accepted, eager=True)
                 kept_total = (
                     accepted if kept_total is None
-                    else kept_total.union(accepted).localCheckpoint()
+                    else pin(kept_total.union(accepted), eager=True)
                 )
             if bound is None:
                 break
@@ -267,7 +266,7 @@ class OneToOneLinking:
                 ).join(
                     accepted.select("id_2"), "id_2", "left_anti"
                 ).select("id_1", "id_2", order_col)
-            remaining = nxt.localCheckpoint()
+            remaining = pin(nxt, eager=True)
             n_rem = remaining.count()
         if kept_total is None:
             return spark.createDataFrame([], sel.schema)
@@ -314,10 +313,10 @@ class ConnectedComponents:
             # twice, plus doubled dropped-cluster accumulators (session-8
             # review fix). Pipeline callers pass materialized stages and
             # are unaffected.
-            pairs = pairs.localCheckpoint(eager=False)
+            pairs = pin(pairs)
             if pairs.count() <= self.driver_threshold:
                 return self._compute_driver(pairs)
-        checkpoint = checkpoint or (lambda df: df.localCheckpoint())
+        checkpoint = checkpoint or (lambda d: pin(d, eager=True))
         # symmetric edge list (both directions) — label flows both ways
         edges = pairs.select(
             F.col("id_1").alias("src"), F.col("id_2").alias("dst")

@@ -30,6 +30,7 @@ from recordlinkage_spark.config import EngineConfig
 from recordlinkage_spark.minhash import MinHashLSH
 from recordlinkage_spark.network import ConnectedComponents
 from recordlinkage_spark.suffix import FingerprintSubstring
+from recordlinkage_spark.caching import pin
 
 
 def _signature_frame(
@@ -167,7 +168,7 @@ class DedupPipeline:
             self._save_manifest()
             return out
         t0 = time.time()
-        df = build().localCheckpoint()
+        df = pin(build(), eager=True)
         self._record(name, t0, df)
         return df
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from recordlinkage_spark import textfns
+from recordlinkage_spark.caching import pin
 
 
 def make_simhash_udf():
@@ -150,7 +151,7 @@ class SimHash:
         # collected once the result is unreferenced — persist() leaked one
         # CacheManager entry per call (session-8 review fix, same recipe
         # as verified_pairs / NeighbourhoodBlock).
-        sigs = self.signatures(df, id_col, text_col).localCheckpoint(eager=False)
+        sigs = pin(self.signatures(df, id_col, text_col))
         width = 64 // self.blocks
         mask = (1 << width) - 1
         chunks = sigs.select(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from recordlinkage_spark import textfns
+from recordlinkage_spark.caching import pin
 
 _P = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
@@ -385,9 +386,9 @@ class FingerprintSubstring:
         # the session lifetime (session-8 review fix, same recipe as
         # remove_duplicate_spans).
         tok_udf = make_token_hash_udf()
-        toks = df.select(
+        toks = pin(df.select(
             F.col(id_col).alias("id"), tok_udf(F.col(text_col)).alias("_t")
-        ).localCheckpoint(eager=False)
+        ))
         joined = (
             cands.join(toks.withColumnRenamed("id", "id_1").withColumnRenamed("_t", "_t1"), "id_1")
             .join(toks.withColumnRenamed("id", "id_2").withColumnRenamed("_t", "_t2"), "id_2")
@@ -558,12 +559,11 @@ def remove_duplicate_spans(
     # whole corpus executes twice inside the cut-list job (session-8
     # review fix; the cut_lists checkpoint below only dedupes the two
     # CONSUMER joins, not this inner self-join).
-    occ = (
+    occ = pin(
         df.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
         .filter(F.size("_s.fps") > 0)
         .select("id", F.explode(F.arrays_zip("_s.fps", "_s.poss")).alias("z"))
         .select("id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))
-        .localCheckpoint(eager=False)
     )
     dup_cond = F.col("_cnt") >= 2
     if max_fp_occurrences is not None:
@@ -593,9 +593,9 @@ def remove_duplicate_spans(
     # returned DataFrame is unreferenced, so repeated calls don't
     # accumulate CacheManager entries for the session lifetime
     # (session-6 review fix).
-    cut_lists = removals.groupBy("id").agg(
+    cut_lists = pin(removals.groupBy("id").agg(
         F.sort_array(F.collect_set("pos")).alias("_cuts")
-    ).withColumnRenamed("id", "_cut_id").localCheckpoint(eager=False)
+    ).withColumnRenamed("id", "_cut_id"))
 
     key = F.col(id_col) == F.col("_cut_id")
     cut_udf = make_span_cut_udf(span_tokens)

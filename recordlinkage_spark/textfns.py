@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from recordlinkage_spark.caching import pin
 
 _U13, _U51 = np.uint64(13), np.uint64(51)
 
@@ -682,9 +683,9 @@ def unigram_logprob(
     # below and the vocab top-K inside the scored plan — without it the
     # most expensive job (explode + corpus-wide token aggregate) runs
     # twice per call (session-8 review fix)
-    counts = toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
+    counts = pin(toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
         F.count("*").cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ))
     # (c desc, tok asc) is a total order over distinct tokens, so the
     # first V rows are exactly the rows a rank-<=-V filter would keep
     vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)

@@ -582,9 +582,21 @@ def line_dedup(
     # reach the aggregate; join the id list back so the one-row-per-doc
     # contract holds. Both sides are id-keyed and the right side is the
     # aggregated output, so this is a cheap id-to-id join; AQE broadcasts
-    # it when small.
+    # it when small. The join is NULL-SAFE so a null-id doc still gets its
+    # aggregated row back (a plain equi-join would silently drop it and
+    # return NULL text/zero counts). Precondition: ``id_col`` should be
+    # unique — duplicate ids fan out to one identical row per input row,
+    # and all null-id docs collapse into ONE shared group (groupBy treats
+    # NULL as a single key), so their output row reflects the combined
+    # group, not each doc alone.
     zero = F.lit(0).cast("long")
-    return df.select(id_col).join(out, id_col, "left").select(
+    # rename the aggregated side's key: both frames descend from ``df``, so
+    # joining on same-named attributes would resolve to a trivially-true
+    # self-comparison
+    outr = out.withColumnRenamed(id_col, "__line_dedup_id")
+    return df.select(id_col).join(
+        outr, F.col(id_col).eqNullSafe(F.col("__line_dedup_id")), "left"
+    ).select(
         id_col,
         "text_deduped",
         F.coalesce("n_lines", zero).alias("n_lines"),

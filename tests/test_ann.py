@@ -185,6 +185,29 @@ def test_ivf_train_layout_independent(spark):
     assert np.allclose(c1, c2)
 
 
+def test_ivf_train_null_heavy_corpus_samples_fully(spark):
+    """The sample-sizing `total` is computed on the NULL-FILTERED frame
+    (ADVICE r4): on a null-heavy corpus the old raw count over-sized the
+    hash-threshold prefilter's denominator and kept materially fewer than
+    sample_rows vectors. With the fix, training over nulls+vectors equals
+    training over the null-free frame exactly."""
+    import numpy as np
+
+    from recordlinkage_spark import ann
+
+    good = [
+        (i, [float((i * 7 + j) % 13) + 0.1 for j in range(4)])
+        for i in range(150)
+    ]
+    nulls = [(1000 + i, None) for i in range(850)]
+    schema = "vec_id bigint, embedding array<double>"
+    with_nulls = spark.createDataFrame(good + nulls, schema)
+    null_free = spark.createDataFrame(good, schema)
+    c1 = ann.ivf_train(with_nulls, n_lists=4, sample_rows=100, seed=7)
+    c2 = ann.ivf_train(null_free, n_lists=4, sample_rows=100, seed=7)
+    assert np.allclose(c1, c2)
+
+
 def test_lsh_buckets_null_vectors_excluded(spark):
     """Null vectors must not hash to bucket 0 of every table — they would
     only inflate those buckets toward the cap (session-8 review fix)."""

@@ -380,6 +380,38 @@ def test_pairs_against_bands_counts_store_side_drops(spark):
     assert acc.value == 1
 
 
+def test_pairs_against_bands_combined_cap(spark):
+    """The cross join caps the COMBINED (new + store) bucket, matching
+    streaming.foreach_batch_dedup (ADVICE r4): per-side caps let a key at
+    the cap on BOTH sides expand to ~cap^2 pairs. Key 1 here is under the
+    cap on each side (3 + 3) but over combined (6 > 5) — its cross pairs
+    must vanish while its within-batch pairs (3 new rows <= cap) stay."""
+    from recordlinkage_spark.minhash import pairs_against_bands
+
+    mk = spark.createDataFrame
+    new = mk(
+        [("n1", 1), ("n2", 1), ("n3", 1), ("na", 2)],
+        "id string, band_key int",
+    )
+    store = mk(
+        [("s1", 1), ("s2", 1), ("s3", 1), ("sa", 2)],
+        "id string, band_key int",
+    )
+    acc = spark.sparkContext.accumulator(0)
+    out = pairs_against_bands(new, store, "string", 5, dropped_acc=acc)
+    got = {(r["id_1"], r["id_2"]) for r in out.collect()}
+    # no store id of key 1 pairs; within-batch key-1 pairs survive
+    assert got == {
+        ("n2", "n1"), ("n3", "n1"), ("n3", "n2"), ("sa", "na"),
+    }
+    assert acc.value == 1
+    # the dropped-key count must be action-stable (ADVICE r4: the
+    # un-pinned mapInPandas re-incremented per action on a lazy result)
+    out.collect()
+    out.count()
+    assert acc.value == 1
+
+
 def test_pipeline_null_url_rows_excluded_from_dedup(spark):
     """Null-url failure records pass the recrawl collapse through
     ungrouped; they must be EXCLUDED from the id-keyed dedup (a null id

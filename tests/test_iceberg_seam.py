@@ -20,8 +20,18 @@ from recordlinkage_spark.pipeline import DedupPipeline
 def _fake_spark(snapshot_id=77, rows=123):
     spark = mock.MagicMock(name="spark")
     spark.sql.return_value.collect.return_value = [{"snapshot_id": snapshot_id}]
-    spark.read.table.return_value.count.return_value = rows
-    spark.read.option.return_value.table.return_value.count.return_value = rows
+    # _record derives the stage row count from ONE
+    # groupBy(spark_partition_id()).agg(count).collect() scan (pipeline._record)
+    # — stub that chain on both stage-reader shapes (fresh write + resume)
+    part_rows = [{"partition_id": 0, "rows": rows}]
+    for reader_df in (
+        spark.read.table.return_value,
+        spark.read.option.return_value.table.return_value,
+    ):
+        reader_df.count.return_value = rows
+        reader_df.groupBy.return_value.agg.return_value.collect.return_value = (
+            part_rows
+        )
     return spark
 
 

@@ -636,6 +636,24 @@ def test_line_dedup_null_text_doc_kept(spark):
     assert out["dn"]["chars_removed"] == 0
 
 
+def test_line_dedup_null_id_doc_kept(spark):
+    """The id join-back is NULL-SAFE (r5 ADVICE fix): a null-id doc with
+    non-null text keeps its real deduped text and counts instead of the
+    silently-dropped NULL/zero row a plain equi-join produced."""
+    df = spark.createDataFrame(
+        [("d1", "x\ny"), (None, "a\na\nb")], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in webtext.line_dedup(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {"d1", None}
+    # 'a' repeats corpus-wide (min_count=2) -> both copies drop
+    assert out[None]["text_deduped"] == "b"
+    assert out[None]["n_lines"] == 3
+    assert out[None]["n_removed"] == 2
+
+
 def test_url_host_trailing_root_dot_stripped(spark):
     """'http://example.com./x' is the same origin as example.com (DNS
     root-dot form); the blocklist must not be evadable with it
