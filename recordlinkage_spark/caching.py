@@ -18,14 +18,21 @@ moved away from). The two Spark primitives that satisfy both:
 - reliable ``checkpoint``: blocks go to ``spark.checkpoint.dir`` (set it
   first, e.g. an HDFS/S3 path), survive executor loss, and still truncate
   lineage. The right mode for 1000-executor elastic clusters; costs one
-  distributed write per pin.
+  distributed write per pin. Reliable checkpoint data is NOT deleted by
+  default — iterative loops (connected components, greedy linking) pin
+  every round, so also set
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean the
+  checkpoint dir per job) or a 30-iteration run leaves ~30 frame copies
+  on the distributed store.
 
 The mode is a session conf so deployments flip it without code changes::
 
     spark.conf.set("spark.recordlinkage.pin.mode", "reliable")
     spark.sparkContext.setCheckpointDir("s3://bucket/checkpoints")
 
-Values: ``local`` (default) | ``reliable``.
+Values: ``local`` (default) | ``reliable``. Anything else raises — a
+typo'd mode silently falling back to localCheckpoint would reintroduce
+the exact executor-loss failure the operator opted out of.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 PIN_MODE_CONF = "spark.recordlinkage.pin.mode"
+_MODES = ("local", "reliable")
 
 
 def pin(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -44,6 +52,10 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
     next round builds on it).
     """
     mode = df.sparkSession.conf.get(PIN_MODE_CONF, "local")
+    if mode not in _MODES:
+        raise ValueError(
+            f"{PIN_MODE_CONF}={mode!r}: expected one of {_MODES}"
+        )
     if mode == "reliable":
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -32,6 +32,17 @@ class EngineConfig:
     # streaming pair expander, and the pipeline counts drops via a Spark
     # accumulator into its metrics list (SURVEY.md §4.1 skew observability).
     max_bucket_size: int = 2000
+    # Per-doc candidate-pair degree cap applied BEFORE the exact-Jaccard
+    # verify (minhash.cap_pair_degree). None = off (exact pair-level
+    # output). Set (e.g. 8-16) when the corpus carries ubiquitous
+    # boilerplate: a shared header makes f% of docs genuinely pairwise
+    # similar, and the verify gather is quadratic in that clique's size
+    # even with the bucket cap (measured: 10% boilerplate at 2M docs ->
+    # 27.8M candidate pairs, 904 s verify, ~24 GB spill). Cluster output
+    # is unchanged — each doc keeps >= min(cap, degree) edges, a random
+    # >=cap-out subgraph of any true clique stays connected whp, and the
+    # recall gate is cluster-based. See BENCH/BASELINE.md round 5.
+    max_verify_degree: int | None = None
 
     # --- SimHash ----------------------------------------------------------
     simhash_bits: int = 64

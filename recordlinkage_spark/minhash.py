@@ -389,6 +389,59 @@ def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
     )
 
 
+def cap_pair_degree(pairs: DataFrame, cap: int, seed: int = 42) -> DataFrame:
+    """Keep, per doc, its ``cap`` lowest-hash candidate pairs; a pair
+    survives when EITHER endpoint ranks it — so every doc keeps at least
+    ``min(cap, degree)`` of its pairs and the kept set is at most
+    ``2 * n_docs * cap``.
+
+    This is the mega-clique pressure valve for the VERIFY stage.
+    ``bucket_pairs``' bucket cap bounds the per-bucket fan-out, but
+    ubiquitous boilerplate (a shared header on f% of the corpus) makes
+    those docs GENUINELY pairwise-similar: thousands of sub-cap buckets
+    each legally emit ~cap^2/2 pairs, and the exact-Jaccard gather then
+    ships every doc's shingle array once per pair — quadratic bytes in
+    the clique size (measured: 10% boilerplate at 2M docs -> 27.8M
+    candidate pairs, 904 s verify, ~24 GB spill; at 4M docs the spill
+    exceeded this host's disk. BENCH/BASELINE.md round 5).
+
+    Why it is safe for DEDUP semantics: the engine's output contract is
+    the CLUSTER partition (connected components over verified pairs), and
+    the acceptance metric is cluster pair recall — a truth pair counts as
+    recovered when both docs land in one cluster, not when its edge is
+    verified directly. Within a true near-dup clique the kept edges form
+    a random >=min(cap, k-1)-out graph, which is connected with
+    overwhelming probability for cap >= 2 (random k-out connectivity;
+    the failure probability vanishes as the clique grows), so the
+    component — and the recall gate — are unchanged while verify cost
+    drops from O(k^2) to O(k * cap). Docs in ordinary small clusters have
+    degree < cap and are untouched. Pair-level consumers that need every
+    verified edge should leave the cap off (it is opt-in:
+    ``EngineConfig.max_verify_degree``).
+
+    Deterministic and layout-independent: rank = xxhash64(id_1, id_2,
+    seed) with the partner id as tiebreak; no RNG, same kept set at any
+    partitioning.
+    """
+    if cap < 2:
+        raise ValueError("cap_pair_degree: need cap >= 2 for the random "
+                         "k-out connectivity guarantee")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(
+        F.col("id_1").cast("string"), F.col("id_2").cast("string"),
+        F.lit(seed),
+    )
+    w1 = Window.partitionBy("id_1").orderBy(h.asc(), F.col("id_2").asc())
+    w2 = Window.partitionBy("id_2").orderBy(h.asc(), F.col("id_1").asc())
+    return (
+        pairs.withColumn("_r1", F.row_number().over(w1))
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter((F.col("_r1") <= cap) | (F.col("_r2") <= cap))
+        .drop("_r1", "_r2")
+    )
+
+
 def pairs_against_bands(
     new_bands: DataFrame,
     store_bands: DataFrame,
@@ -455,9 +508,14 @@ def pairs_against_bands(
         # review fix). Disjoint from the expander's count by
         # construction: a new-hot key never reaches `touched` at all.
         # Same task-retry approximation caveat as every accumulator; the
-        # pin() below also stops the count re-incrementing on every
-        # action a lazy caller runs over the result (ADVICE r4 — the
-        # un-pinned mapInPandas re-executed per action).
+        # pin() below stops THIS store-side count re-incrementing on
+        # every action a lazy caller runs over the result (ADVICE r4 —
+        # the un-pinned mapInPandas re-executed per action). The
+        # within-batch expander's new-hot-key count (inside
+        # bucket_pairs) still re-executes per action for lazy callers —
+        # pinning the full pair frame here would force-materialize every
+        # caller; the pipeline materializes candidates as a stage, which
+        # bounds it to one action in the production path.
         key_type = dict(store_bands.dtypes)["band_key"]
 
         def _count_hot(batches):

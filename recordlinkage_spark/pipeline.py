@@ -299,17 +299,31 @@ class DedupPipeline:
                 {"stage": "candidates", "dropped_buckets": cand_dropped.value}
             )
 
+        # Boilerplate-clique pressure valve (opt-in): cap each doc's
+        # verified-pair degree before the quadratic shingle gather; the
+        # cluster output is unchanged (minhash.cap_pair_degree docstring
+        # has the connectivity argument + measurements). Its own
+        # checkpointed stage so resume skips the double window shuffle.
+        to_verify = candidates
+        if cfg.max_verify_degree is not None:
+            from recordlinkage_spark.minhash import cap_pair_degree
+
+            to_verify = self._stage(
+                spark, "candidates_capped",
+                lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
+            )
+
         # verify the LSH candidates with exact Jaccard on shingle-hash sets
-        # (JVM array_intersect/union), threshold filter. candidates is
+        # (JVM array_intersect/union), threshold filter. the pair frame is
         # already materialized by its stage, so its count is cheap — pass
         # the broadcast decision explicitly instead of letting
         # exact_jaccard run its own heuristic job.
-        n_cand = candidates.count()
+        n_cand = to_verify.count()
         verified = self._stage(
             spark, "verified",
             lambda: exact_jaccard(
                 sh=signatures.select("id", F.col("sh").alias("_sh")),
-                cands=candidates, threshold=self.jaccard_threshold,
+                cands=to_verify, threshold=self.jaccard_threshold,
                 broadcast_pairs=n_cand <= 2_000_000,
             ),
         )

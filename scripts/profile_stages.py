@@ -52,8 +52,16 @@ def main(cpus: int, n_docs: int, boiler_pct: int = 0) -> None:
     for _ in range(2):
         docs.select(warm(F.col("text")).alias("n")).agg(F.sum("n")).collect()
 
-    cfg = EngineConfig(num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3,
-                       **({"max_bucket_size": 200} if boiler_pct else {}))
+    # boiler runs: bucket cap 200 (drops the degenerate mega-buckets) +
+    # verify-degree cap 8 (bounds the verify gather over the TRUE
+    # boilerplate clique — sub-cap buckets alone emitted 27.8M pairs /
+    # 904 s verify / ~24 GB spill at 2M docs, quadratic in clique size;
+    # cluster recall is unchanged, see minhash.cap_pair_degree)
+    cfg = EngineConfig(
+        num_perm=128, lsh_bands=32, lsh_rows=4, shingle_size=3,
+        **({"max_bucket_size": 200, "max_verify_degree": 8}
+           if boiler_pct else {}),
+    )
     t0 = time.time()
     pipe = DedupPipeline(cfg, jaccard_threshold=0.5)
     out = pipe.run(docs, id_col="doc_id", text_col="text")

@@ -13,8 +13,19 @@ from recordlinkage_spark.caching import PIN_MODE_CONF, pin
 def test_pin_default_is_local_checkpoint(spark):
     df = pin(spark.range(10).withColumn("x", F.col("id") * 2))
     assert df.count() == 10
-    assert "Existing RDD" in df._jdf.queryExecution().optimizedPlan().toString() \
-        or df.rdd.toDebugString()  # lineage truncated to an RDD scan
+    # lineage truncated: after the first action the plan is an RDD scan,
+    # not the original Range + Project
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+
+
+def test_pin_rejects_unknown_mode(spark):
+    spark.conf.set(PIN_MODE_CONF, "relaible")
+    try:
+        with pytest.raises(ValueError, match="pin.mode"):
+            pin(spark.range(1))
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
 
 
 def test_pin_reliable_mode_checkpoints(spark, tmp_path):

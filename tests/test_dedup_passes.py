@@ -412,6 +412,74 @@ def test_pairs_against_bands_combined_cap(spark):
     assert acc.value == 1
 
 
+def test_cap_pair_degree_clique_stays_connected(spark):
+    """The degree cap keeps a spanning subgraph of a true clique: one
+    component, every node present, kept size bounded by 2*n*cap, and the
+    kept set is partition-layout-independent (hash rank, no RNG)."""
+    from recordlinkage_spark.minhash import cap_pair_degree
+    from recordlinkage_spark.network import ConnectedComponents
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{j:03d}") for i in range(n) for j in range(i)],
+        "id_1 string, id_2 string",
+    )
+    capped = cap_pair_degree(pairs, cap=3)
+    kept = capped.count()
+    assert kept < pairs.count()
+    assert kept <= 2 * n * 3
+    comp = ConnectedComponents().compute(capped)
+    assert comp.count() == n
+    assert comp.select("cluster_id").distinct().count() == 1
+    # layout independence
+    again = {
+        (r["id_1"], r["id_2"])
+        for r in cap_pair_degree(pairs.repartition(13), cap=3).collect()
+    }
+    assert again == {(r["id_1"], r["id_2"]) for r in capped.collect()}
+
+
+def test_cap_pair_degree_small_degrees_untouched(spark):
+    """Docs whose degree is within the cap keep every pair."""
+    from recordlinkage_spark.minhash import cap_pair_degree
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "c")], "id_1 string, id_2 string"
+    )
+    got = {(r["id_1"], r["id_2"])
+           for r in cap_pair_degree(pairs, cap=4).collect()}
+    assert got == {("b", "a"), ("c", "a"), ("d", "c")}
+
+
+def test_pipeline_degree_cap_preserves_clusters(spark):
+    """A planted boilerplate clique (shared long header on 40 docs):
+    max_verify_degree must leave the CLUSTER partition identical to the
+    uncapped run while verifying fewer pairs."""
+    header = " ".join(f"hdr{i}" for i in range(120))
+    rows = [(f"b{i:02d}", f"{header} body{i} extra{i}") for i in range(40)]
+    rows += [(f"u{i:02d}", " ".join(f"w{i}_{j}" for j in range(60)))
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    cfg_kw = dict(num_perm=32, lsh_bands=8, lsh_rows=4, shingle_size=3)
+    full = DedupPipeline(
+        EngineConfig(**cfg_kw), jaccard_threshold=0.5,
+        use_substring_pass=False,
+    ).run(docs, id_col="url", text_col="text")
+    capped = DedupPipeline(
+        EngineConfig(max_verify_degree=3, **cfg_kw), jaccard_threshold=0.5,
+        use_substring_pass=False,
+    ).run(docs, id_col="url", text_col="text")
+
+    def partition(out):
+        comps = {}
+        for r in out["clusters"].collect():
+            comps.setdefault(r["cluster_id"], set()).add(r["url"])
+        return {frozenset(v) for v in comps.values()}
+
+    assert partition(capped) == partition(full)
+    assert capped["matches"].count() < full["matches"].count()
+
+
 def test_pipeline_null_url_rows_excluded_from_dedup(spark):
     """Null-url failure records pass the recrawl collapse through
     ungrouped; they must be EXCLUDED from the id-keyed dedup (a null id
