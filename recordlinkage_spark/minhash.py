@@ -485,13 +485,22 @@ def pairs_against_bands(
         new_sizes.filter(F.col("_nn") > max_bucket_size).select("band_key"),
         "band_key", "left_anti",
     )
-    # localCheckpoint (lazy): touched feeds both the bucket-size
-    # aggregate and the join probe below — without it the store
-    # semi-join subtree evaluates twice per action (session-8 review
-    # fix). Bounded: touched holds only store rows on the batch's keys.
-    touched = pin(store_bands.join(
-        ok_new.select("band_key").distinct(), "band_key"
-    ))
+    # The batch's touched-key set is usually tiny next to the store:
+    # BROADCAST it so the store side is filtered in place instead of
+    # shuffling every store band row into a join — measured at 400k-store
+    # / 100k-batch the un-broadcast semi-join exchanged all 12.8M store
+    # rows and erased the incremental path's advantage over a full
+    # rebuild (r5 bench). This is the local-mode stand-in for bucketed-
+    # store partition pruning at scale; count-gated so a giant batch
+    # falls back to the shuffled join. pin (lazy): touched feeds both the
+    # bucket-size aggregate and the join probe below — without it the
+    # store semi-join subtree evaluates twice per action (session-8
+    # review fix). Bounded: touched holds only store rows on the batch's
+    # keys.
+    keys = ok_new.select("band_key").distinct()
+    if keys.count() <= 10_000_000:
+        keys = F.broadcast(keys)
+    touched = pin(store_bands.join(keys, "band_key"))
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
     # combined cap: the store side of a key plus the batch rows that will
     # join it must fit in one bucket (streaming.foreach_batch_dedup's

@@ -533,14 +533,26 @@ class DedupPipeline:
                 {"stage": "inc_candidates", "dropped_buckets": cand_dropped.value}
             )
 
+        # same boilerplate-clique valve as run(): a snapshot whose docs
+        # share a header with the store forms a true new-vs-store
+        # near-clique, and the verify gather is quadratic in it
+        to_verify = candidates
+        if cfg.max_verify_degree is not None:
+            from recordlinkage_spark.minhash import cap_pair_degree
+
+            to_verify = self._stage(
+                spark, "inc_candidates_capped",
+                lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
+            )
+
         sh_all = signatures.select("id", F.col("sh").alias("_sh")).unionByName(
             store_sigs.select("id", F.col("sh").alias("_sh"))
         )
-        n_cand = candidates.count()
+        n_cand = to_verify.count()
         verified = self._stage(
             spark, "inc_verified",
             lambda: exact_jaccard(
-                sh=sh_all, cands=candidates, threshold=self.jaccard_threshold,
+                sh=sh_all, cands=to_verify, threshold=self.jaccard_threshold,
                 broadcast_pairs=n_cand <= 2_000_000,
             ),
         )

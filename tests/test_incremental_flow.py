@@ -190,6 +190,43 @@ def test_run_incremental_resume(spark, tmp_path):
                    for m in resumed.metrics)
 
 
+def test_run_incremental_degree_cap_preserves_clusters(spark, tmp_path):
+    """max_verify_degree in the incremental flow: a new snapshot sharing a
+    boilerplate header with the store still clusters identically (spanning
+    subgraph of the new-vs-store clique), with fewer verified pairs."""
+    header = " ".join(f"hh{i}" for i in range(120))
+    old = spark.createDataFrame(
+        [(f"s{i:02d}", f"{header} sbody{i} sx{i}") for i in range(25)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [(f"n{i:02d}", f"{header} nbody{i} nx{i}") for i in range(15)],
+        "url string, text string",
+    )
+
+    def run_pair(cfg_extra, wd):
+        base = DedupPipeline(EngineConfig(**_CFG), work_dir=str(wd / "b"),
+                             jaccard_threshold=0.5)
+        base_out = base.run(old, id_col="url", text_col="text")
+        prior_sigs = spark.read.parquet(str(wd / "b" / "signatures"))
+        # substring pass off: the winnowing tier would re-emit the full
+        # header clique here (its own control is max_bucket_size) and
+        # mask the verify-tier count this test pins
+        inc = DedupPipeline(
+            EngineConfig(**{**_CFG, **cfg_extra}), work_dir=str(wd / "i"),
+            jaccard_threshold=0.5, use_substring_pass=False)
+        return inc, inc.run_incremental(
+            new, prior_sigs, base_out["clusters"],
+            id_col="url", text_col="text")
+
+    _, full = run_pair({}, tmp_path / "f")
+    inc_pipe, capped = run_pair({"max_verify_degree": 3}, tmp_path / "c")
+    assert _cluster_sets(full["clusters"]) == _cluster_sets(capped["clusters"])
+    assert capped["matches"].count() < full["matches"].count()
+    assert any(m["stage"] == "inc_candidates_capped"
+               for m in inc_pipe.metrics)
+
+
 def test_run_incremental_supersede_updated_doc(spark, tmp_path):
     """An id present in both snapshots is an updated doc: its STORED
     signature must not pair its stale content, while prior cluster edges
