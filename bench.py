@@ -216,7 +216,7 @@ def main() -> None:
     timings = {name: min(samples) for name, samples in runs.items()}
 
     # --- incremental vs rebuild (VERDICT r4 "Next round" #5) ---------------
-    # Two-snapshot experiment at ~400k store + ~100k new docs, run ONCE
+    # Two-snapshot experiment at ~450k store + ~50k new docs, run ONCE
     # after the round-robin (it is minutes-scale, and the claim is a RATIO
     # whose two sides share the same host minute, so best-of-N would double
     # bench time for no robustness). Record: ingesting a new snapshot via

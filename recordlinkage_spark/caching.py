@@ -18,7 +18,13 @@ moved away from). The two Spark primitives that satisfy both:
 - reliable ``checkpoint``: blocks go to ``spark.checkpoint.dir`` (set it
   first, e.g. an HDFS/S3 path), survive executor loss, and still truncate
   lineage. The right mode for 1000-executor elastic clusters; costs one
-  distributed write per pin. Reliable checkpoint data is NOT deleted by
+  compute + one distributed write per pin — the subtree is persisted
+  around the checkpoint, because a bare ``Dataset.checkpoint()``
+  RECOMPUTES the plan to write the files (Spark's own RDD.checkpoint
+  doc), which would double every expensive Arrow pass and fire every
+  accumulator twice. Reliable pins are therefore always EAGER (the
+  persist window must close deterministically); ``eager=False`` only
+  defers in local mode. Reliable checkpoint data is NOT deleted by
   default — iterative loops (connected components, greedy linking) pin
   every round, so also set
   ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean the
@@ -57,5 +63,13 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
             f"{PIN_MODE_CONF}={mode!r}: expected one of {_MODES}"
         )
     if mode == "reliable":
-        return df.checkpoint(eager=eager)
+        # persist around the checkpoint: RDD.checkpoint recomputes the
+        # subtree to write the files unless its blocks are cached, which
+        # would double every compute and every accumulator (r5 review
+        # fix). Always eager so the persist window closes here.
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=eager)

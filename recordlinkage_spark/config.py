@@ -38,10 +38,13 @@ class EngineConfig:
     # boilerplate: a shared header makes f% of docs genuinely pairwise
     # similar, and the verify gather is quadratic in that clique's size
     # even with the bucket cap (measured: 10% boilerplate at 2M docs ->
-    # 27.8M candidate pairs, 904 s verify, ~24 GB spill). Cluster output
-    # is unchanged — each doc keeps >= min(cap, degree) edges, a random
-    # >=cap-out subgraph of any true clique stays connected whp, and the
-    # recall gate is cluster-based. See BENCH/BASELINE.md round 5.
+    # 27.8M candidate pairs, 904 s verify, ~24 GB spill). Each doc keeps
+    # >= min(cap, degree) edges and a random >=cap-out subgraph of a
+    # true clique stays connected whp, so dense components survive —
+    # but components joined only by scarce bridge edges between two
+    # high-degree docs CAN split (measured 22 of 1.15M docs at 2M/10%/
+    # cap 8, recall 0.99877 — inside the gate, not bit-identical); see
+    # minhash.cap_pair_degree and BENCH/BASELINE.md round 5.
     max_verify_degree: int | None = None
 
     # --- SimHash ----------------------------------------------------------

@@ -413,11 +413,20 @@ def cap_pair_degree(pairs: DataFrame, cap: int, seed: int = 42) -> DataFrame:
     a random >=min(cap, k-1)-out graph, which is connected with
     overwhelming probability for cap >= 2 (random k-out connectivity;
     the failure probability vanishes as the clique grows), so the
-    component — and the recall gate — are unchanged while verify cost
-    drops from O(k^2) to O(k * cap). Docs in ordinary small clusters have
-    degree < cap and are untouched. Pair-level consumers that need every
-    verified edge should leave the cap off (it is opt-in:
-    ``EngineConfig.max_verify_degree``).
+    component survives while verify cost drops from O(k^2) to
+    O(k * cap). Docs in ordinary small clusters have degree < cap and
+    are untouched.
+
+    Known lossy edge (why this stays opt-in): the whp argument covers
+    edges WITHIN a dense component. A component held together by SCARCE
+    bridge edges between two high-degree docs (two cliques joined by one
+    pair) can split — the bridge survives only if it ranks in an
+    endpoint's top-``cap`` among ~degree hash-ranked edges. Measured at
+    2M docs / 10% boilerplate with cap 8: 22 of 1.15M clustered docs
+    differed, recall 0.99877 vs the uncapped twin's ~0.999 — inside the
+    0.99 gate, not bit-identical. Raise ``cap`` (loss falls as
+    cap/degree) or leave the cap off when exact pair/partition parity
+    matters (``EngineConfig.max_verify_degree=None``, the default).
 
     Deterministic and layout-independent: rank = xxhash64(id_1, id_2,
     seed) with the partner id as tiebreak; no RNG, same kept set at any
@@ -497,8 +506,14 @@ def pairs_against_bands(
     # store semi-join subtree evaluates twice per action (session-8
     # review fix). Bounded: touched holds only store rows on the batch's
     # keys.
+    # Gate on the PINNED batch frame's row count — an upper bound on the
+    # distinct keys, so no extra distinct-aggregate job — and keep it at
+    # 4M keys (~32 MB of longs, well under broadcast/driver limits with
+    # HashedRelation overhead; a 10M+ gate risked a multi-hundred-MB
+    # forced broadcast on small drivers — r5 review fix). Bigger batches
+    # fall back to the shuffled semi-join.
     keys = ok_new.select("band_key").distinct()
-    if keys.count() <= 10_000_000:
+    if new_bands.count() <= 4_000_000:
         keys = F.broadcast(keys)
     touched = pin(store_bands.join(keys, "band_key"))
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))

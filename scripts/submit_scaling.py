@@ -56,9 +56,13 @@ CORES_PER_EXEC = 2  # override with --cores; see main()
 EXEC_MEM_MB = 8192
 
 
-def ensure_corpus(n_docs: int) -> Path:
+def ensure_corpus(n_docs: int, doc_tokens: tuple = (40, 160)) -> Path:
     """Generate the full-input-shape corpus parquet once (docs + truth)."""
-    corpus_dir = Path(tempfile.gettempdir()) / f"submit_corpus_{n_docs}"
+    lo_t, hi_t = doc_tokens
+    corpus_dir = Path(tempfile.gettempdir()) / (
+        f"submit_corpus_{n_docs}" if (lo_t, hi_t) == (40, 160)
+        else f"submit_corpus_{n_docs}_{lo_t}_{hi_t}"
+    )
     if (corpus_dir / "docs.parquet" / "_SUCCESS").exists():
         return corpus_dir
     from recordlinkage_spark.config import get_spark
@@ -67,7 +71,8 @@ def ensure_corpus(n_docs: int) -> Path:
     spark = get_spark("submit-corpus-gen", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     docs, truth = webtext_corpus_distributed(
-        spark, n_docs=n_docs, dup_fraction=0.3, seed=42, partitions=16
+        spark, n_docs=n_docs, dup_fraction=0.3, seed=42, partitions=16,
+        doc_tokens=doc_tokens,
     )
     docs.write.mode("overwrite").parquet(str(corpus_dir / "docs.parquet"))
     truth.write.mode("overwrite").parquet(str(corpus_dir / "truth.parquet"))
@@ -128,10 +133,13 @@ def run_submit(n_exec: int, corpus_dir: Path, work: Path,
     )
 
 
-def attempt(n_docs: int, n_lo: int, n_hi: int) -> dict:
+def attempt(n_docs: int, n_lo: int, n_hi: int,
+            doc_tokens: tuple = (40, 160)) -> dict:
     rec: dict = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_docs": n_docs,
+        "doc_tokens": list(doc_tokens),
+        "cores_per_exec": CORES_PER_EXEC,
         "deployment": "spark-submit --py-files, local-cluster "
                       f"[{n_lo} vs {n_hi} executors x {CORES_PER_EXEC} cores "
                       f"x {EXEC_MEM_MB}m]",
@@ -144,7 +152,7 @@ def attempt(n_docs: int, n_lo: int, n_hi: int) -> dict:
         rec["verdict"] = "host_saturated"
         return rec
 
-    corpus_dir = ensure_corpus(n_docs)
+    corpus_dir = ensure_corpus(n_docs, doc_tokens)
     work = Path(tempfile.mkdtemp(prefix="submit_scaling_"))
     build_zip(work)
     # scratch cwd: the child + zip only — imports MUST come from the zip
@@ -197,6 +205,12 @@ def main() -> None:
                          "sides of a 1,4 pair under this VM's ~16-thread "
                          "bandwidth knee — each executor runs one task "
                          "thread + one Python worker)")
+    ap.add_argument("--doc-tokens", nargs=2, type=int, default=(40, 160),
+                    metavar=("LO", "HI"),
+                    help="token-count range per doc (default 40 160; real "
+                         "web pages are ~150-500 — heavier docs shift the "
+                         "job from this VM's memory-bandwidth knee toward "
+                         "CPU, which is what a real cluster scales)")
     ap.add_argument("--loop", nargs=2, type=int, metavar=("N", "SLEEP"),
                     help="retry up to N times, SLEEP sec apart, until gate_met")
     args = ap.parse_args()
@@ -208,7 +222,8 @@ def main() -> None:
     tries, sleep = args.loop if args.loop else (1, 0)
     for i in range(tries):
         try:
-            rec = attempt(args.n_docs, n_lo, n_hi)
+            rec = attempt(args.n_docs, n_lo, n_hi,
+                          tuple(args.doc_tokens))
         except Exception as exc:  # a dead executor mid-run must not end
             rec = {                # the loop — record it and retry
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -41,12 +41,40 @@ def test_pin_reliable_mode_checkpoints(spark, tmp_path):
         spark.conf.unset(PIN_MODE_CONF)
 
 
-def test_pin_reliable_lazy_defers_until_action(spark, tmp_path):
+def test_pin_reliable_lazy_request_still_materializes(spark, tmp_path):
+    """Reliable pins are always eager (the persist-around-checkpoint
+    window must close deterministically); an eager=False request still
+    returns a working, checkpointed frame."""
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
     spark.conf.set(PIN_MODE_CONF, "reliable")
     try:
         df = pin(spark.range(3))
         assert df.count() == 3
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+
+
+def test_pin_reliable_computes_subtree_once(spark, tmp_path):
+    """A bare Dataset.checkpoint() RECOMPUTES the plan to write the
+    checkpoint files; pin() persists around it so expensive subtrees run
+    once and accumulators fire once (r5 review fix). Pinned via an
+    accumulator-counting mapInPandas in the subtree."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt4"))
+    spark.conf.set(PIN_MODE_CONF, "reliable")
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    try:
+        src = spark.range(10).repartition(1).mapInPandas(
+            count_rows, "id long")
+        out = pin(src, eager=True)
+        assert acc.value == 10  # one compute, not two
+        assert out.count() == 10
+        assert acc.value == 10  # checkpointed reads don't re-run the UDF
     finally:
         spark.conf.unset(PIN_MODE_CONF)
 
