@@ -45,6 +45,24 @@ def q_block_index_documents(spark, sf):
     return Block(["lang", "source"]).index(docs, id_col="doc_id")
 
 
+def q_degree_capped_pairs(spark, sf):
+    """Degree-capped verify input (minhash.cap_pair_degree — the r5
+    boilerplate-clique valve) over the documents block index: keep each
+    doc's 3 lowest-rank pairs, a pair surviving when EITHER endpoint
+    ranks it. Rank here is md5(id_1|id_2) so the DuckDB oracle replays
+    the selection bit-for-bit (the default xxhash64 rank has no DuckDB
+    twin); tiebreak is the partner id, matching the operator's windows."""
+    from recordlinkage_spark.indexing import Block
+    from recordlinkage_spark.minhash import cap_pair_degree
+
+    docs = _t(spark, sf, "documents")
+    pairs = Block(["lang", "source"]).index(docs, id_col="doc_id")
+    rank = F.md5(F.concat_ws(
+        "|", F.col("id_1").cast("string"), F.col("id_2").cast("string")))
+    return cap_pair_degree(pairs, cap=3, rank_col=rank).orderBy(
+        "id_1", "id_2")
+
+
 def q_sni_index_documents(spark, sf):
     from recordlinkage_spark.indexing import SortedNeighbourhood
 
@@ -1464,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "substring_span_pairs": q_substring_span_pairs,
         "substring_span_removal": q_substring_span_removal,
+        "degree_capped_pairs": q_degree_capped_pairs,
         "incremental_pipeline_dedup": q_incremental_pipeline_dedup,
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1573,6 +1592,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_1, b.doc_id AS id_2
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id > b.doc_id
+        """,
+        # degree-capped verify input: replay the md5 rank + either-endpoint
+        # row_number windows over the same block-index pair set
+        "degree_capped_pairs": """
+            WITH p AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id > b.doc_id
+            ),
+            r AS (
+              SELECT id_1, id_2,
+                row_number() OVER (PARTITION BY id_1 ORDER BY
+                  md5(CAST(id_1 AS VARCHAR) || '|' || CAST(id_2 AS VARCHAR)),
+                  id_2) AS r1,
+                row_number() OVER (PARTITION BY id_2 ORDER BY
+                  md5(CAST(id_1 AS VARCHAR) || '|' || CAST(id_2 AS VARCHAR)),
+                  id_1) AS r2
+              FROM p
+            )
+            SELECT id_1, id_2 FROM r
+            WHERE r1 <= 3 OR r2 <= 3
+            ORDER BY id_1, id_2
         """,
         "sni_index_documents": """
             WITH keys AS (SELECT DISTINCT n_chars FROM documents WHERE n_chars IS NOT NULL),

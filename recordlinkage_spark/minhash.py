@@ -389,7 +389,8 @@ def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
     )
 
 
-def cap_pair_degree(pairs: DataFrame, cap: int, seed: int = 42) -> DataFrame:
+def cap_pair_degree(pairs: DataFrame, cap: int, seed: int = 42,
+                    rank_col: Column | None = None) -> DataFrame:
     """Keep, per doc, its ``cap`` lowest-hash candidate pairs; a pair
     survives when EITHER endpoint ranks it — so every doc keeps at least
     ``min(cap, degree)`` of its pairs and the kept set is at most
@@ -430,14 +431,17 @@ def cap_pair_degree(pairs: DataFrame, cap: int, seed: int = 42) -> DataFrame:
 
     Deterministic and layout-independent: rank = xxhash64(id_1, id_2,
     seed) with the partner id as tiebreak; no RNG, same kept set at any
-    partitioning.
+    partitioning. ``rank_col`` overrides the rank expression (e.g. an
+    md5-based rank that an external SQL engine can replicate
+    bit-for-bit for differential checks, or a quality score so the BEST
+    edges survive instead of pseudo-random ones).
     """
     if cap < 2:
         raise ValueError("cap_pair_degree: need cap >= 2 for the random "
                          "k-out connectivity guarantee")
     from pyspark.sql import Window
 
-    h = F.xxhash64(
+    h = rank_col if rank_col is not None else F.xxhash64(
         F.col("id_1").cast("string"), F.col("id_2").cast("string"),
         F.lit(seed),
     )
