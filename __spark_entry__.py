@@ -1493,7 +1493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
-        "extract_text": q_extract_text,
         # --- graph ----------------------------------------------------------
         "connected_components": q_connected_components,
         "cluster_representatives": q_cluster_representatives,
@@ -1512,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_customer_text": q_clean_customer_text,
         "phonetic_codes": q_phonetic_codes,
         # ==== tail (entry 51+): r3+r4 double-green redundant variants ======
+        "extract_text": q_extract_text,
         "full_index_nation": q_full_index_nation,
         "block_index_documents": q_block_index_documents,
         "sni_index_documents": q_sni_index_documents,
