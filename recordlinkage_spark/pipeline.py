@@ -168,7 +168,14 @@ class DedupPipeline:
             self._save_manifest()
             return out
         t0 = time.time()
-        df = pin(build(), eager=True)
+        # lazy pin: _record's count() is always the next action, so it
+        # materializes the checkpoint blocks AND returns the row count in
+        # ONE job — eager=True ran the identical subtree as a separate
+        # checkpoint job first, doubling the per-stage job count for no
+        # extra safety (the count touches every partition, so the blocks
+        # are fully materialized either way; accumulators still fire
+        # exactly once, in the counting job).
+        df = pin(build())
         self._record(name, t0, df)
         return df
 

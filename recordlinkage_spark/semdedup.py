@@ -160,14 +160,13 @@ def cluster_cosine_edges(
     Clusters are disjoint (one list per vector), so no cross-key
     ``dropDuplicates`` pass is needed — unlike the multi-table LSH path.
     """
-    spark = assigned.sparkSession
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" under vendor AQE auto-tuning
-        n_part = spark.sparkContext.defaultParallelism
     id_type = dict(assigned.dtypes)["id"]
+    # keyed repartition without an explicit count so AQE can coalesce the
+    # reduce side (see minhash.bucket_pairs — same contract: coalescing
+    # merges whole hash partitions and the sort runs after the merge, so
+    # clusters stay contiguous within one task)
     grouped = (
-        assigned.repartition(n_part, "list_id")
+        assigned.repartition("list_id")
         .sortWithinPartitions("list_id", "id")
     )
     expand = _make_cluster_edge_expander(threshold, cluster_cap, block,
