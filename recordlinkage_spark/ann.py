@@ -74,18 +74,25 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
     broadcast into Arrow kernels, so they must be driver/executor-resident.
     A user pointing the query/oracle side at a corpus-scale table gets a
     diagnosed ValueError naming the bucketed alternative instead of a
-    driver OOM (VERDICT r3 "What's wrong" #2)."""
+    driver OOM (VERDICT r3 "What's wrong" #2).
+
+    The gate is a BOUNDED collect (limit max_rows+1), not a count() plus
+    an unbounded collect: the limit stops the scan early and caps driver
+    transfer at max_rows rows either way, and folding the gate into the
+    collect saves one full count job per call (r6: one Spark job instead
+    of two on every query-matrix collect)."""
     if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
+        pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
             raise ValueError(
                 f"{caller} collects its vector set to the driver "
-                f"({n} rows > limit {max_rows}). For corpus-scale inputs "
+                f"(> limit {max_rows} rows). For corpus-scale inputs "
                 "use the bucketed path (embedding_near_dup_pairs / "
                 "lsh_topk with a bounded query set), or raise max_rows "
                 "explicitly if the driver really has the memory."
             )
-    pdf = df.select(id_col, vec_col).toPandas()
+    else:
+        pdf = df.select(id_col, vec_col).toPandas()
     pdf = pdf[pdf[vec_col].notna()]
     ids = pdf[id_col].to_numpy()
     if len(pdf) == 0:
@@ -460,13 +467,20 @@ def ivf_train(
     the classifier fits (classifiers.py); assignment of the FULL corpus
     is the distributed pass (``ivf_assign``)."""
     sample = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    # total over the NULL-FILTERED frame: sizing the hash-threshold
-    # prefilter by the raw row count on a null-heavy corpus kept
-    # ~nonnull/total of the intended sample (ADVICE r4)
-    total = sample.count()
-    if total == 0:
+    # Bounded probe collect first: corpora at or under sample_rows (the
+    # common case for query/oracle-scale frames) are fully collected by
+    # ONE limit(sample_rows+1) job — no separate count() scan. Only a
+    # corpus that overflows the probe pays the count, which it needs
+    # anyway to size the hash-threshold prefilter; the probe itself
+    # stops early under the limit, so its cost is bounded.
+    pdf = sample.limit(sample_rows + 1).toPandas()
+    if len(pdf) == 0:
         raise ValueError("ivf_train: empty corpus (no non-null vectors)")
-    if total > sample_rows:
+    if len(pdf) > sample_rows:
+        # total over the NULL-FILTERED frame: sizing the hash-threshold
+        # prefilter by the raw row count on a null-heavy corpus kept
+        # ~nonnull/total of the intended sample (ADVICE r4)
+        total = sample.count()
         h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
         frac = min(1.0, (sample_rows * 1.25) / total)
         sample = sample.withColumn("_h", h)
@@ -474,7 +488,8 @@ def ivf_train(
             thresh = int(frac * (1 << 20))
             sample = sample.filter(F.pmod(F.col("_h"), F.lit(1 << 20)) < thresh)
         sample = sample.orderBy("_h", id_col).limit(sample_rows).drop("_h")
-    pdf = sample.toPandas().sort_values(id_col).reset_index(drop=True)
+        pdf = sample.toPandas()
+    pdf = pdf.sort_values(id_col).reset_index(drop=True)
     X = _normalize_rows(_stack(pdf[vec_col]))
     n = len(X)
     k = min(n_lists, n)

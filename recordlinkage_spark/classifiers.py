@@ -139,6 +139,32 @@ def _guard_discrete(features: DataFrame, cols: list[str],
         )
 
 
+def _guarded_collect(agg: DataFrame, cols: list[str],
+                     max_unique: int = 100_000) -> list:
+    """Gate-and-collect a unique-vector aggregate in ONE scan of the
+    features. The old shape ran ``_guard_discrete`` (an
+    approx_count_distinct aggregation — a full scan of the feature frame)
+    and THEN the groupBy aggregation (a second full scan). The
+    aggregation itself is distributed and spills gracefully — the only
+    driver hazard is the unbounded ``collect()`` — so persist the
+    aggregate, gate on its exact row count (cheap: reads the cached
+    handful of rows), and collect from cache. Same fail-fast contract,
+    one feature scan instead of two, and the collected rows come from
+    the identical aggregation (same partitioning, same order)."""
+    agg = agg.persist()
+    try:
+        n = agg.count()
+        if n > max_unique:
+            raise ValueError(
+                f"driver-side fit needs discrete feature vectors: {n} unique "
+                f"vectors across {cols} (> {max_unique}). Bin continuous "
+                "similarities (e.g. F.round(col, 2)) before fitting."
+            )
+        return agg.collect()
+    finally:
+        agg.unpersist()
+
+
 def _collect_labeled_stats(features: DataFrame, truth: DataFrame,
                            cols: list[str]):
     """Shared supervised-fit preamble (reference base.py:912-926): label
@@ -153,8 +179,12 @@ def _collect_labeled_stats(features: DataFrame, truth: DataFrame,
     labeled = features.join(
         truth.select(PAIR).distinct().withColumn("_y", F.lit(1)), PAIR, "left"
     ).fillna({"_y": 0})
-    _guard_discrete(features, cols)
-    grouped = labeled.groupBy(*cols, "_y").count().collect()
+    # 2 * max_unique: every unique feature vector appears at most once per
+    # label value — same discreteness gate as _guard_discrete, fused into
+    # the aggregation (one feature scan instead of two, _guarded_collect)
+    grouped = _guarded_collect(
+        labeled.groupBy(*cols, "_y").count(), cols, max_unique=200_000
+    )
     if not any(r["_y"] == 1 for r in grouped):
         raise ValueError("training data has zero matches (base.py:916-922)")
     X = np.array([[float(r[c]) for c in cols] for r in grouped])
@@ -324,8 +354,9 @@ class ECMClassifier(BaseClassifier, _NBModel):
 
     def fit(self, features: DataFrame, truth: DataFrame | None = None):
         self._cols = _feature_cols(features)
-        _guard_discrete(features, self._cols)
-        grouped = features.groupBy(*self._cols).count().collect()
+        grouped = _guarded_collect(
+            features.groupBy(*self._cols).count(), self._cols
+        )
         X_unique = np.array([[float(r[c]) for c in self._cols] for r in grouped])
         freq = np.array([float(r["count"]) for r in grouped])
         n_total = freq.sum()

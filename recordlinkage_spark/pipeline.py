@@ -20,7 +20,9 @@ Stage graph:
 from __future__ import annotations
 
 import json
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +97,10 @@ class DedupPipeline:
         self.remove_spans = remove_spans
         self.metrics: list[dict] = []
         self._manifest: dict = {}
+        # serializes manifest/lineage/metrics mutation when independent
+        # stages run concurrently (run() overlaps the substring pass with
+        # the candidates->verify chain, guide §2.6)
+        self._lock = threading.Lock()
 
     # --- checkpoint plumbing ------------------------------------------------
     @property
@@ -161,11 +167,12 @@ class DedupPipeline:
             df = build()
             out, location, snap = self._write_stage(spark, name, df)
             n = self._record(name, t0, out)
-            self._manifest[name] = {
-                "path": location, "rows": n,
-                "format": self.config.stage_format, "snapshot_id": snap,
-            }
-            self._save_manifest()
+            with self._lock:
+                self._manifest[name] = {
+                    "path": location, "rows": n,
+                    "format": self.config.stage_format, "snapshot_id": snap,
+                }
+                self._save_manifest()
             return out
         t0 = time.time()
         # lazy pin: _record's count() is always the next action, so it
@@ -195,7 +202,13 @@ class DedupPipeline:
                 [(int(r["partition_id"]), int(r["rows"])) for r in parts],
                 "partition_id int, rows long",
             ).withColumn("stage", F.lit(stage))
-            lineage.write.mode("append").parquet(str(self.work_dir / "_lineage"))
+            # locked: concurrent stages (run() overlaps the substring
+            # pass) must not append to the shared _lineage path at the
+            # same time — two jobs sharing one _temporary dir can corrupt
+            # the commit
+            with self._lock:
+                lineage.write.mode("append").parquet(
+                    str(self.work_dir / "_lineage"))
         else:
             n = df.count()
         self.metrics.append(
@@ -288,6 +301,31 @@ class DedupPipeline:
             lambda: _signature_frame(records, cfg, id_col, text_col),
         )
 
+        # The substring pass depends ONLY on signatures, so it runs
+        # CONCURRENTLY with the candidates -> verify chain (guide §2.6:
+        # overlap independent jobs so one job's tasks back-fill executors
+        # left idle by the other's stragglers / fixed per-job overhead).
+        # _stage serializes manifest/lineage/metrics mutation behind
+        # self._lock; the Spark scheduler interleaves the two jobs' tasks.
+        sub_future = None
+        sub_executor = None
+        sub_ran = False
+        if self.use_substring_pass:
+            sub_dropped = spark.sparkContext.accumulator(0)
+
+            def build_sub_pairs() -> DataFrame:
+                fp_rows = signatures.select("id", F.explode("fps").alias("fp"))
+                return bucket_pairs(
+                    fp_rows, ["fp"], cfg.max_bucket_size, id_type,
+                    dropped_acc=sub_dropped,
+                ).withColumn("jaccard", F.lit(None).cast("double"))
+
+            sub_ran = not (self.work_dir and "substring_pairs" in self._manifest)
+            sub_executor = ThreadPoolExecutor(max_workers=1)
+            sub_future = sub_executor.submit(
+                self._stage, spark, "substring_pairs", build_sub_pairs
+            )
+
         # dropped-bucket accumulators: the streaming pair expander drops
         # buckets over the cap; the counts land in the metrics list so
         # skew/truncation stays observable (north_rule)
@@ -300,7 +338,12 @@ class DedupPipeline:
             )
 
         ran = not (self.work_dir and "candidates" in self._manifest)
-        candidates = self._stage(spark, "candidates", build_candidates)
+        try:
+            candidates = self._stage(spark, "candidates", build_candidates)
+        except BaseException:
+            if sub_executor is not None:  # don't leak the worker thread
+                sub_executor.shutdown(wait=True)
+            raise
         if ran:  # resumed stages never ran the expander -> no drop count
             self.metrics.append(
                 {"stage": "candidates", "dropped_buckets": cand_dropped.value}
@@ -311,46 +354,50 @@ class DedupPipeline:
         # cluster output is unchanged (minhash.cap_pair_degree docstring
         # has the connectivity argument + measurements). Its own
         # checkpointed stage so resume skips the double window shuffle.
-        to_verify = candidates
-        if cfg.max_verify_degree is not None:
-            from recordlinkage_spark.minhash import cap_pair_degree
+        try:
+            # Boilerplate-clique pressure valve (opt-in): cap each doc's
+            # verified-pair degree before the quadratic shingle gather; the
+            # cluster output is unchanged (minhash.cap_pair_degree docstring
+            # has the connectivity argument + measurements). Its own
+            # checkpointed stage so resume skips the double window shuffle.
+            to_verify = candidates
+            if cfg.max_verify_degree is not None:
+                from recordlinkage_spark.minhash import cap_pair_degree
 
-            to_verify = self._stage(
-                spark, "candidates_capped",
-                lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
+                to_verify = self._stage(
+                    spark, "candidates_capped",
+                    lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
+                )
+
+            # verify the LSH candidates with exact Jaccard on shingle-hash
+            # sets (JVM array_intersect/union), threshold filter. the pair
+            # frame is already materialized by its stage, so its count is
+            # cheap — pass the broadcast decision explicitly instead of
+            # letting exact_jaccard run its own heuristic job.
+            n_cand = to_verify.count()
+            verified = self._stage(
+                spark, "verified",
+                lambda: exact_jaccard(
+                    sh=signatures.select("id", F.col("sh").alias("_sh")),
+                    cands=to_verify, threshold=self.jaccard_threshold,
+                    broadcast_pairs=n_cand <= 2_000_000,
+                ),
             )
-
-        # verify the LSH candidates with exact Jaccard on shingle-hash sets
-        # (JVM array_intersect/union), threshold filter. the pair frame is
-        # already materialized by its stage, so its count is cheap — pass
-        # the broadcast decision explicitly instead of letting
-        # exact_jaccard run its own heuristic job.
-        n_cand = to_verify.count()
-        verified = self._stage(
-            spark, "verified",
-            lambda: exact_jaccard(
-                sh=signatures.select("id", F.col("sh").alias("_sh")),
-                cands=to_verify, threshold=self.jaccard_threshold,
-                broadcast_pairs=n_cand <= 2_000_000,
-            ),
-        )
+        except BaseException:
+            if sub_executor is not None:
+                sub_executor.shutdown(wait=True)
+            raise
 
         if self.use_substring_pass:
             # substring dups have LOW global Jaccard by construction, so
             # they bypass the Jaccard gate: the winnowing fingerprint is a
             # deterministic witness of a shared >=span+window-1-token run.
-            sub_dropped = spark.sparkContext.accumulator(0)
-
-            def build_sub_pairs() -> DataFrame:
-                fp_rows = signatures.select("id", F.explode("fps").alias("fp"))
-                return bucket_pairs(
-                    fp_rows, ["fp"], cfg.max_bucket_size, id_type,
-                    dropped_acc=sub_dropped,
-                ).withColumn("jaccard", F.lit(None).cast("double"))
-
-            ran = not (self.work_dir and "substring_pairs" in self._manifest)
-            sub_pairs = self._stage(spark, "substring_pairs", build_sub_pairs)
-            if ran:
+            # (launched concurrently above — join the worker thread here)
+            try:
+                sub_pairs = sub_future.result()
+            finally:
+                sub_executor.shutdown(wait=True)
+            if sub_ran:
                 self.metrics.append(
                     {"stage": "substring_pairs", "dropped_buckets": sub_dropped.value}
                 )
@@ -533,37 +580,12 @@ class DedupPipeline:
                 cfg.max_bucket_size, dropped_acc=cand_dropped,
             )
 
-        ran = not (self.work_dir and "inc_candidates" in self._manifest)
-        candidates = self._stage(spark, "inc_candidates", build_candidates)
-        if ran:
-            self.metrics.append(
-                {"stage": "inc_candidates", "dropped_buckets": cand_dropped.value}
-            )
-
-        # same boilerplate-clique valve as run(): a snapshot whose docs
-        # share a header with the store forms a true new-vs-store
-        # near-clique, and the verify gather is quadratic in it
-        to_verify = candidates
-        if cfg.max_verify_degree is not None:
-            from recordlinkage_spark.minhash import cap_pair_degree
-
-            to_verify = self._stage(
-                spark, "inc_candidates_capped",
-                lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
-            )
-
-        sh_all = signatures.select("id", F.col("sh").alias("_sh")).unionByName(
-            store_sigs.select("id", F.col("sh").alias("_sh"))
-        )
-        n_cand = to_verify.count()
-        verified = self._stage(
-            spark, "inc_verified",
-            lambda: exact_jaccard(
-                sh=sh_all, cands=to_verify, threshold=self.jaccard_threshold,
-                broadcast_pairs=n_cand <= 2_000_000,
-            ),
-        )
-
+        # overlap the substring pass with the candidates -> verify chain,
+        # exactly as run() does (guide §2.6) — both depend only on
+        # (signatures, store_sigs)
+        sub_future = None
+        sub_executor = None
+        sub_ran = False
         if self.use_substring_pass:
             sub_dropped = spark.sparkContext.accumulator(0)
 
@@ -577,9 +599,58 @@ class DedupPipeline:
                     dropped_acc=sub_dropped,
                 ).withColumn("jaccard", F.lit(None).cast("double"))
 
-            ran = not (self.work_dir and "inc_substring_pairs" in self._manifest)
-            sub_pairs = self._stage(spark, "inc_substring_pairs", build_sub_pairs)
+            sub_ran = not (
+                self.work_dir and "inc_substring_pairs" in self._manifest
+            )
+            sub_executor = ThreadPoolExecutor(max_workers=1)
+            sub_future = sub_executor.submit(
+                self._stage, spark, "inc_substring_pairs", build_sub_pairs
+            )
+
+        ran = not (self.work_dir and "inc_candidates" in self._manifest)
+        try:
+            candidates = self._stage(spark, "inc_candidates", build_candidates)
             if ran:
+                self.metrics.append(
+                    {"stage": "inc_candidates",
+                     "dropped_buckets": cand_dropped.value}
+                )
+
+            # same boilerplate-clique valve as run(): a snapshot whose docs
+            # share a header with the store forms a true new-vs-store
+            # near-clique, and the verify gather is quadratic in it
+            to_verify = candidates
+            if cfg.max_verify_degree is not None:
+                from recordlinkage_spark.minhash import cap_pair_degree
+
+                to_verify = self._stage(
+                    spark, "inc_candidates_capped",
+                    lambda: cap_pair_degree(candidates, cfg.max_verify_degree),
+                )
+
+            sh_all = signatures.select(
+                "id", F.col("sh").alias("_sh")
+            ).unionByName(store_sigs.select("id", F.col("sh").alias("_sh")))
+            n_cand = to_verify.count()
+            verified = self._stage(
+                spark, "inc_verified",
+                lambda: exact_jaccard(
+                    sh=sh_all, cands=to_verify,
+                    threshold=self.jaccard_threshold,
+                    broadcast_pairs=n_cand <= 2_000_000,
+                ),
+            )
+        except BaseException:
+            if sub_executor is not None:  # don't leak the worker thread
+                sub_executor.shutdown(wait=True)
+            raise
+
+        if self.use_substring_pass:
+            try:
+                sub_pairs = sub_future.result()
+            finally:
+                sub_executor.shutdown(wait=True)
+            if sub_ran:
                 self.metrics.append(
                     {"stage": "inc_substring_pairs",
                      "dropped_buckets": sub_dropped.value}
