@@ -593,23 +593,64 @@ def ivf_topk(
     # driver-side probe selection: (q, n_lists) matmul, top-nprobe lists
     QS = _normalize_rows(Q) @ centroids.T
     order = np.argsort(-QS, axis=1)[:, :nprobe]  # (q, nprobe)
-    probes = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, nprobe),
-                "list_id": order.astype(np.int32).ravel(),
-            }
-        ),
-        schema=f"query_id {q_type}, list_id int",
-    )
 
-    assigned = ivf_assign(
-        corpus, centroids, id_col, vec_col, out_id="neighbor_id", keep_vec=True
+    # Fused assign + probe + score: ONE mapInPandas pass over the corpus.
+    # The probe table (q * nprobe rows) is tiny and driver-resident, so
+    # instead of materializing it as a DataFrame, broadcast-joining it to
+    # the assignment output and scoring in a SECOND Python pass (three
+    # plan nodes, two Arrow boundaries), ship it inside the closure as a
+    # list_id -> query-row index CSR and do assignment, probe lookup and
+    # exact cosine in the same batch kernel. Same math in the same order
+    # (normalize, argmax vs centroids, einsum vs the normalized query
+    # matrix), so results are bit-identical; the corpus still never
+    # shuffles, which is the property that matters at scale.
+    sort_idx = np.argsort(q_ids)
+    q_ids_sorted, Qn_sorted = q_ids[sort_idx], _normalize_rows(Q)[sort_idx]
+    # CSR of probing queries per list: q_of[qoff[l]:qoff[l+1]] = positions
+    # (into the sorted query arrays) of the queries probing list l
+    probe_list = order.ravel()  # (q*nprobe,) list ids, query-major
+    probe_q = np.repeat(np.arange(len(q_ids)), nprobe)
+    # map query positions to sorted order
+    inv_sort = np.empty(len(q_ids), dtype=np.int64)
+    inv_sort[sort_idx] = np.arange(len(q_ids))
+    probe_q = inv_sort[probe_q]
+    by_list = np.argsort(probe_list, kind="stable")
+    q_of = probe_q[by_list]
+    qoff = np.zeros(n_lists + 1, dtype=np.int64)
+    np.add.at(qoff[1:], probe_list, 1)
+    np.cumsum(qoff, out=qoff)
+    Ct = np.ascontiguousarray(centroids.T)  # (dim, n_lists)
+    qcnt = np.diff(qoff)
+
+    def assign_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            Vn = _normalize_rows(_stack(pdf[vec_col]))
+            lists = np.argmax(Vn @ Ct, axis=1)
+            cnts = qcnt[lists]
+            total = int(cnts.sum())
+            if total == 0:
+                continue
+            rep = np.repeat(np.arange(len(lists)), cnts)
+            rel = np.arange(total) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+            qidx = q_of[qoff[lists][rep] + rel]
+            cos = np.einsum("ij,ij->i", Vn[rep], Qn_sorted[qidx])
+            n_ids = pdf[id_col].to_numpy()[rep]
+            out = pd.DataFrame(
+                {
+                    "query_id": q_ids_sorted[qidx],
+                    "neighbor_id": n_ids,
+                    "cosine": cos,
+                }
+            )
+            out = out[out["query_id"] != out["neighbor_id"]]
+            if len(out):
+                yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        assign_score,
+        schema=f"query_id {q_type}, neighbor_id {id_type}, cosine double",
     )
-    joined = (
-        assigned.join(F.broadcast(probes), "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_cv")
-    )
-    scored = _score_candidates(joined, q_ids, Q, q_type, id_type)
     return _window_topk(scored, k)

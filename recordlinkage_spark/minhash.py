@@ -240,21 +240,18 @@ def make_shingle_array_udf(shingle_size: int):
     return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
-def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
-    """All unordered in-segment pairs of a flat segmented id array,
-    fully vectorized: the k-th pair of an m-element segment maps to
-    upper-triangle indices (i, j) by the closed-form triangular inverse
-    (same trick as the reference's Random indexer,
-    recordlinkage/algorithms/indexing.py:8-17, applied per segment).
-
-    Returns (a, b) with a = elementwise max, b = min. Exact for
-    m <= ~2^26 (float64 sqrt is exact on these integer ranges).
-    """
+def _segment_pair_idx(sizes: np.ndarray):
+    """Flat (i_idx, j_idx) row indices of all unordered in-segment pairs:
+    the k-th pair of an m-element segment maps to upper-triangle indices
+    (i, j) by the closed-form triangular inverse (same trick as the
+    reference's Random indexer, recordlinkage/algorithms/indexing.py:8-17,
+    applied per segment). Exact for m <= ~2^26 (float64 sqrt is exact on
+    these integer ranges). Returns None when there are no pairs."""
     sizes = sizes.astype(np.int64)
     pair_counts = sizes * (sizes - 1) // 2
     total = int(pair_counts.sum())
     if total == 0:
-        return ids[:0], ids[:0]
+        return None
     seg_starts = np.cumsum(sizes) - sizes
     pair_starts = np.cumsum(pair_counts) - pair_counts
     grp = np.repeat(np.arange(len(sizes)), pair_counts)
@@ -265,12 +262,25 @@ def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
     i = i.astype(np.int64)
     j = k - i * (2 * m - i - 1) // 2 + i + 1
     base = seg_starts[grp]
-    x, y = ids[base + i], ids[base + j]
+    return base + i, base + j
+
+
+def segment_pairs_np(ids: np.ndarray, sizes: np.ndarray):
+    """All unordered in-segment pairs of a flat segmented id array,
+    fully vectorized (see :func:`_segment_pair_idx`).
+
+    Returns (a, b) with a = elementwise max, b = min.
+    """
+    idx = _segment_pair_idx(sizes)
+    if idx is None:
+        return ids[:0], ids[:0]
+    x, y = ids[idx[0]], ids[idx[1]]
     return np.maximum(x, y), np.minimum(x, y)
 
 
 def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id", "band_hash"),
-                               dropped_acc=None):
+                               dropped_acc=None,
+                               payload_cols: tuple[str, ...] = ()):
     """mapInPandas function over (id, *key_cols) rows that are
     hash-partitioned AND sorted by ``key_cols``: emits in-bucket pairs.
     Streams Arrow batches with a carry-over for the bucket that spans a
@@ -279,7 +289,14 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
 
     ``dropped_acc``: optional Spark accumulator incremented once per
     dropped oversize bucket — skew observability for the metrics table
-    (approximate under task retries, like all accumulators)."""
+    (approximate under task retries, like all accumulators).
+
+    ``payload_cols``: per-row columns carried THROUGH the expansion —
+    each pair row gets ``<col>_1``/``<col>_2`` aligned with id_1/id_2
+    (id_1 is the elementwise larger id, matching the payload-free path).
+    Lets a caller with a small per-doc value (e.g. a simhash signature)
+    skip two downstream gather joins by shuffling the value alongside
+    the bucket key."""
 
     def expand(batches):
         carry: pd.DataFrame | None = None
@@ -328,10 +345,26 @@ def _make_bucket_pair_expander(cap: int, key_cols: tuple[str, ...] = ("band_id",
             ids = pdf["id"].to_numpy()
             # compact to kept segments only
             keep_rows = np.repeat(ok, sizes)
-            a, b = segment_pairs_np(ids[keep_rows], sizes[ok])
-            if len(a) == 0:
+            kept_ids = ids[keep_rows]
+            if not payload_cols:
+                a, b = segment_pairs_np(kept_ids, sizes[ok])
+                if len(a) == 0:
+                    return None
+                return pd.DataFrame({"id_1": a, "id_2": b})
+            idx = _segment_pair_idx(sizes[ok])
+            if idx is None:
                 return None
-            return pd.DataFrame({"id_1": a, "id_2": b})
+            ii, jj = idx
+            x, y = kept_ids[ii], kept_ids[jj]
+            swap = x >= y  # id_1 = elementwise max, as in the plain path
+            sel1 = np.where(swap, ii, jj)
+            sel2 = np.where(swap, jj, ii)
+            data = {"id_1": kept_ids[sel1], "id_2": kept_ids[sel2]}
+            for p in payload_cols:
+                arr = pdf[p].to_numpy()[keep_rows]
+                data[f"{p}_1"] = arr[sel1]
+                data[f"{p}_2"] = arr[sel2]
+            return pd.DataFrame(data)
 
         for pdf in batches:
             if carry is not None and len(carry):
@@ -363,13 +396,22 @@ def band_key_expr(band_hash_col) -> Column:
 
 
 def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
-                 id_type: str, dropped_acc=None) -> DataFrame:
+                 id_type: str, dropped_acc=None,
+                 payload: dict[str, str] | None = None) -> DataFrame:
     """(id, *key_cols) -> distinct in-bucket (id_1, id_2) pairs via ONE
     shuffle: repartition on the bucket key, per-partition sort, vectorized
     Arrow pair expansion (see _make_bucket_pair_expander), then distinct.
     Shared by the MinHash/LSH, SimHash, winnowing-fingerprint and
     embedding-LSH passes. Pass a Spark accumulator as ``dropped_acc`` to
-    count dropped oversize buckets (skew observability)."""
+    count dropped oversize buckets (skew observability).
+
+    ``payload`` ({column: spark_type}): small per-row values carried
+    through the expansion as ``<col>_1``/``<col>_2`` — a caller that
+    needs a per-doc scalar on both sides of every pair (e.g. SimHash's
+    Hamming filter) avoids two gather joins against the signature table
+    at the cost of one extra scalar per row in the bucket shuffle. The
+    payload must be a FUNCTION of the id (same value on every row of a
+    doc), so the per-pair values are deterministic under dropDuplicates."""
     # Repartition by key WITHOUT an explicit partition count: an explicit
     # count marks the exchange REPARTITION_BY_NUM, which AQE refuses to
     # coalesce, pinning spark.sql.shuffle.partitions reduce tasks (and as
@@ -384,8 +426,13 @@ def bucket_pairs(rows: DataFrame, key_cols: list[str], cap: int,
     # contract is unchanged (measured: identical pair sets, ~0.3 s less
     # fixed overhead per call at bench scale).
     grouped = rows.repartition(*key_cols).sortWithinPartitions(*key_cols)
-    expand = _make_bucket_pair_expander(cap, tuple(key_cols), dropped_acc)
-    pairs = grouped.mapInPandas(expand, schema=f"id_1 {id_type}, id_2 {id_type}")
+    payload = payload or {}
+    expand = _make_bucket_pair_expander(cap, tuple(key_cols), dropped_acc,
+                                        payload_cols=tuple(payload))
+    schema = f"id_1 {id_type}, id_2 {id_type}" + "".join(
+        f", {p}_1 {t}, {p}_2 {t}" for p, t in payload.items()
+    )
+    pairs = grouped.mapInPandas(expand, schema=schema)
     # id_1 != id_2: one doc can occupy TWO rows of a bucket (two of its
     # band hashes truncating to the same band_key, or a duplicated input
     # id) and the expander pairs every row combination — without the

@@ -305,17 +305,31 @@ class ConnectedComponents:
         """pairs(id_1,id_2) -> (id, cluster_id). Singletons not in any pair
         are not emitted (join the records table to give them their own id)."""
         if self.driver_threshold:
-            # localCheckpoint (lazy) BEFORE the size probe: the count()
+            # localCheckpoint (lazy) BEFORE the size probe: the probe
             # executes the caller's upstream DAG, and without a
-            # materialization the chosen path (driver toPandas or the
-            # distributed edge build) re-executes it — for a lazy caller
-            # like semantic_dedup that is the whole edge-expansion kernel
-            # twice, plus doubled dropped-cluster accumulators (session-8
-            # review fix). Pipeline callers pass materialized stages and
-            # are unaffected.
+            # materialization the chosen path (driver solve or the
+            # distributed edge build) would re-execute it — for a lazy
+            # caller like semantic_dedup that is the whole edge-expansion
+            # kernel twice, plus doubled dropped-cluster accumulators
+            # (session-8 review fix). Pipeline callers pass materialized
+            # stages and are unaffected.
+            #
+            # The probe is a BOUNDED collect (limit threshold+1), not a
+            # count() followed by a separate toPandas(): the driver path
+            # needs the edge list on the driver anyway, so probing with
+            # the collect itself saves one full job per compute() — and
+            # the transfer stays capped at threshold+1 rows (~80 MB of
+            # id pairs at the 5M default) even when the graph is huge,
+            # in which case the collected prefix is discarded and the
+            # distributed loop runs as before.
             pairs = pin(pairs)
-            if pairs.count() <= self.driver_threshold:
-                return self._compute_driver(pairs)
+            pdf = (
+                pairs.select("id_1", "id_2")
+                .limit(self.driver_threshold + 1)
+                .toPandas()
+            )
+            if len(pdf) <= self.driver_threshold:
+                return self._compute_driver(pairs, pdf)
         checkpoint = checkpoint or (lambda d: pin(d, eager=True))
         # symmetric edge list (both directions) — label flows both ways
         edges = pairs.select(
@@ -375,16 +389,18 @@ class ConnectedComponents:
             )
         return labels
 
-    def _compute_driver(self, pairs: DataFrame) -> DataFrame:
+    def _compute_driver(self, pairs: DataFrame, pdf=None) -> DataFrame:
         """Driver-side solve for small graphs: vectorized min-label
         propagation with pointer jumping (same algorithm as the loop,
         collapsed to numpy scatter-mins). Bit-equivalent output:
-        (id, cluster_id = min id in component)."""
+        (id, cluster_id = min id in component). ``pdf`` lets compute()
+        hand over the edge frame its size probe already collected."""
         import numpy as np
         import pandas as pd
 
         spark = pairs.sparkSession
-        pdf = pairs.select("id_1", "id_2").toPandas()
+        if pdf is None:
+            pdf = pairs.select("id_1", "id_2").toPandas()
         id_field = pairs.schema["id_1"].dataType
         if len(pdf) == 0:
             return spark.createDataFrame(

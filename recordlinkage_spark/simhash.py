@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from recordlinkage_spark import textfns
-from recordlinkage_spark.caching import pin
 
 
 def make_simhash_udf():
@@ -140,22 +139,23 @@ class SimHash:
     def candidate_pairs(self, df: DataFrame, id_col: str, text_col: str,
                         dropped_acc=None) -> DataFrame:
         """Chunk-bucket pair generation via the shared one-shuffle
-        repartition+sort+Arrow-expander shape (minhash.bucket_pairs), then
-        a Hamming post-filter: the signature table is tiny (one int64 per
-        doc), so the two signature gathers broadcast. ``dropped_acc``:
-        optional Spark accumulator counting dropped oversize buckets."""
+        repartition+sort+Arrow-expander shape (minhash.bucket_pairs), with
+        the 8-byte signature carried THROUGH the expansion as a payload
+        column: the Hamming post-filter then runs directly on the pair
+        rows, replacing the former two gather joins against the signature
+        table (two extra plan stages, and two shuffles of the signature
+        table at corpus scale) with one extra int64 per row in the bucket
+        shuffle. The signature frame is consumed exactly once, so it no
+        longer needs a lineage pin either. ``dropped_acc``: optional
+        Spark accumulator counting dropped oversize buckets."""
         from recordlinkage_spark.minhash import bucket_pairs
 
-        # localCheckpoint (lazy), not persist: feeds the chunk explode and
-        # the hamming gathers; checkpoint blocks are ContextCleaner-
-        # collected once the result is unreferenced — persist() leaked one
-        # CacheManager entry per call (session-8 review fix, same recipe
-        # as verified_pairs / NeighbourhoodBlock).
-        sigs = pin(self.signatures(df, id_col, text_col))
+        sigs = self.signatures(df, id_col, text_col)
         width = 64 // self.blocks
         mask = (1 << width) - 1
         chunks = sigs.select(
             "id",
+            "simhash",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -167,22 +167,17 @@ class SimHash:
                     for i in range(self.blocks)
                 ])
             ).alias("_c"),
-        ).select("id", "_c.block_id", "_c.block_val")
+        ).select("id", "_c.block_id", "_c.block_val", "simhash")
         id_type = df.schema[id_col].dataType.simpleString()
         pairs = bucket_pairs(
             chunks, ["block_id", "block_val"], self.max_bucket_size, id_type,
-            dropped_acc=dropped_acc,
+            dropped_acc=dropped_acc, payload={"simhash": "bigint"},
         )
-        # no broadcast hint: AQE upgrades to broadcast when the materialized
-        # signature table is small; at 10^12 docs it is not, and the hint
-        # would force an OOM
-        s1 = sigs.select(F.col("id").alias("id_1"), F.col("simhash").alias("_s1"))
-        s2 = sigs.select(F.col("id").alias("id_2"), F.col("simhash").alias("_s2"))
         return (
-            pairs.join(s1, "id_1")
-            .join(s2, "id_2")
-            .filter(
-                F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))) <= self.hamming_k
+            pairs.filter(
+                F.bit_count(
+                    F.col("simhash_1").bitwiseXOR(F.col("simhash_2"))
+                ) <= self.hamming_k
             )
             .select("id_1", "id_2")
         )
