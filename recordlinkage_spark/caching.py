@@ -67,7 +67,19 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
         # subtree to write the files unless its blocks are cached, which
         # would double every compute and every accumulator (r5 review
         # fix). Always eager so the persist window closes here.
-        df = df.persist()
+        # DISK_ONLY for the wrap-around persist (ADVICE r5): the blocks
+        # live only for the duration of the checkpoint write, and the
+        # frames pinned here are the large ones — a MEMORY_AND_DISK
+        # persist would evict execution memory for a cache that is
+        # dropped two lines later. Note pin() must receive a frame whose
+        # query execution has not already been forced in reliable mode —
+        # persist() after a prior action leaves the memoized physical
+        # plan without the cache scan and checkpoint(eager) recomputes
+        # the subtree (every call site here pins before the first
+        # action).
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
         try:
             return df.checkpoint(eager=True)
         finally:

@@ -250,34 +250,64 @@ class _NBModel:
         """Joint log-likelihood for one class as a pure column expression:
         prior + per-column CASE over the fitted indicator log-probs. The
         fitted model is embedded as literals — zero joins, zero Python,
-        whole-stage codegen scores every pair."""
-        expr = F.lit(float(self.class_log_prior_[class_idx]))
+        whole-stage codegen scores every pair.
+
+        Built as ONE SQL string through F.expr instead of a chain of
+        F.when/F.lit calls: each pyspark Column operation is a py4j round
+        trip, and the old chain (hundreds of calls for 7 columns × 2
+        classes) cost ~0.2 s of pure driver latency per predict (r6
+        measurement). The string form produces the identical expression
+        tree — same left-associated additions, same CASE branches, same
+        double literals (repr() emits the shortest round-tripping decimal
+        and the `D` suffix parses it straight back to the same double) —
+        so scores are bit-identical (oracle-gated on nb_classify)."""
+
+        import math
+
+        def d(v: float) -> str:
+            if math.isfinite(v):
+                return f"{v!r}D"
+            # a zero fitted probability yields -inf log-prob; SQL has no
+            # infinity literal, but the string cast round-trips exactly
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+
+        parts = [d(float(self.class_log_prior_[class_idx]))]
         pos = 0
         for col, classes in zip(self._cols, self.classes_list):
-            x = F.col(col).cast("double")
+            quoted = col.replace("`", "``")
+            x = f"CAST(`{quoted}` AS DOUBLE)"
             k = classes.shape[0]
             if k == 1:
                 lp = float(self.feature_log_prob_[class_idx, pos])
                 # single-class binarizer emits the INVERTED indicator
-                expr = expr + F.when(x == float(classes[0]), F.lit(0.0)).otherwise(
-                    F.lit(lp)
+                parts.append(
+                    f"CASE WHEN {x} = {d(float(classes[0]))} THEN 0.0D "
+                    f"ELSE {d(lp)} END"
                 )
                 pos += 1
             elif k == 2:
                 lp0 = float(self.feature_log_prob_[class_idx, pos])
                 lp1 = float(self.feature_log_prob_[class_idx, pos + 1])
-                expr = expr + F.when(x == float(classes[1]), F.lit(lp1)).otherwise(
-                    F.lit(lp0)
+                parts.append(
+                    f"CASE WHEN {x} = {d(float(classes[1]))} THEN {d(lp1)} "
+                    f"ELSE {d(lp0)} END"
                 )
                 pos += 2
             else:
-                case = F.lit(0.0)
+                # nested CASE, innermost ELSE 0.0 — same tree as the old
+                # F.when chain (last class tested outermost)
+                expr = "0.0D"
                 for j, v in enumerate(classes):
                     lp = float(self.feature_log_prob_[class_idx, pos + j])
-                    case = F.when(x == float(v), F.lit(lp)).otherwise(case)
-                expr = expr + case
+                    expr = (
+                        f"CASE WHEN {x} = {d(float(v))} THEN {d(lp)} "
+                        f"ELSE {expr} END"
+                    )
+                parts.append(expr)
                 pos += k
-        return expr
+        return F.expr("(" + " + ".join(parts) + ")")
 
     def _score_df(self, features: DataFrame) -> DataFrame:
         jll0 = self._jll_expr(0)

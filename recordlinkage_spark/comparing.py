@@ -480,16 +480,15 @@ class Compare:
         right = df_b.select(
             F.col(id_col).alias("id_2"), *[F.col(c).alias(_R + c) for c in cols_r]
         )
-        pair_keys = pairs.select("id_1", "id_2")
-        # A pair frame arriving in fewer partitions than the cluster has
-        # parallelism (e.g. the single partition a limit() collapses to)
-        # would run every string-metric Arrow kernel on ONE task; round-
-        # robin it out first. No-op at scale, where pair frames already
-        # carry many partitions (same recipe as minhash.bands_table).
-        dp = pairs.sparkSession.sparkContext.defaultParallelism
-        if pair_keys.rdd.getNumPartitions() < dp:
-            pair_keys = pair_keys.repartition(dp)
-        aligned = pair_keys.join(left, "id_1").join(right, "id_2")
+        # NOT repartitioned before the join: an r6 A/B at the bench shape
+        # (50k pairs arriving in one partition from a limit()) measured
+        # the round-robin spread LOSING to the single-task kernels — the
+        # .rdd partition probe compiles the physical plan per call and
+        # the extra exchange costs more than the Arrow-kernel parallelism
+        # buys at this size; large pair frames arrive multi-partition
+        # anyway. Callers with a huge single-partition pair frame should
+        # repartition it themselves.
+        aligned = pairs.select("id_1", "id_2").join(left, "id_1").join(right, "id_2")
 
         labels = self._labels()
         plain = [

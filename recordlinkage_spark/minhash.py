@@ -516,6 +516,7 @@ def pairs_against_bands(
     id_type: str,
     max_bucket_size: int,
     dropped_acc=None,
+    broadcast_key_limit: int = 4_000_000,
 ) -> DataFrame:
     """Batch-vs-store pair expansion over compact ``(id, band_key)``
     frames: within-batch pairs via the capped streaming expander, plus
@@ -571,8 +572,11 @@ def pairs_against_bands(
     # HashedRelation overhead; a 10M+ gate risked a multi-hundred-MB
     # forced broadcast on small drivers — r5 review fix). Bigger batches
     # fall back to the shuffled semi-join.
+    # broadcast_key_limit (ADVICE r5): the 4M default is ~32 MB of longs
+    # plus HashedRelation overhead — small-driver deployments can lower
+    # it (or raise it on fat drivers) without touching code.
     keys = ok_new.select("band_key").distinct()
-    if new_bands.count() <= 4_000_000:
+    if new_bands.count() <= broadcast_key_limit:
         keys = F.broadcast(keys)
     touched = pin(store_bands.join(keys, "band_key"))
     sizes = touched.groupBy("band_key").agg(F.count("*").alias("_n"))
@@ -809,11 +813,11 @@ class MinHashLSH:
         like nulls).
 
         Repartitions the input when it arrives in fewer partitions than the
-        cluster has parallelism (a single small parquet file otherwise pins
-        the whole signature pass to ONE task)."""
-        dp = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < dp:
-            df = df.repartition(dp)
+        cluster has parallelism AND is big enough for the exchange to pay
+        off (a single large parquet file otherwise pins the whole
+        signature pass to ONE task; a toy input is cheaper unspread —
+        textfns.spread_small_input)."""
+        df = textfns.spread_small_input(df)
         if self.char_level:
             udf = make_band_udf(self.num_perm, self.bands, self.rows, self.seed)
             sig_col = udf(

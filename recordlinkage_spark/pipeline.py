@@ -47,11 +47,9 @@ def _signature_frame(
     copy of this logic."""
     from recordlinkage_spark.minhash import make_signature_udf
 
-    spark = records.sparkSession
-    df = records
-    dp = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
-        df = df.repartition(dp)
+    from recordlinkage_spark.textfns import spread_small_input
+
+    df = spread_small_input(records)
     udf = make_signature_udf(
         cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.shingle_size,
         cfg.span_tokens, cfg.winnow_window,

@@ -127,9 +127,7 @@ class SimHash:
         self.max_bucket_size = max_bucket_size
 
     def signatures(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        dp = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < dp:
-            df = df.repartition(dp)
+        df = textfns.spread_small_input(df)
         udf = make_text_simhash_udf(self.shingle_size)
         return df.select(
             F.col(id_col).alias("id"),

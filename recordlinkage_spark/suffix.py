@@ -346,9 +346,7 @@ class FingerprintSubstring:
         self.max_bucket_size = max_bucket_size
 
     def fingerprints(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        dp = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < dp:
-            df = df.repartition(dp)
+        df = textfns.spread_small_input(df)
         udf = make_fingerprint_udf(self.span_tokens, self.winnow_window)
         fp = df.select(
             F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_fps")
@@ -386,7 +384,9 @@ class FingerprintSubstring:
         # the session lifetime (session-8 review fix, same recipe as
         # remove_duplicate_spans).
         tok_udf = make_token_hash_udf()
-        toks = pin(df.select(
+        # size-gated spread of the tokenize pass (same recipe as
+        # fingerprints / remove_duplicate_spans, r6)
+        toks = pin(textfns.spread_small_input(df).select(
             F.col(id_col).alias("id"), tok_udf(F.col(text_col)).alias("_t")
         ))
         joined = (
@@ -552,6 +552,13 @@ def remove_duplicate_spans(
       size).
     """
     fp_udf = make_fingerprint_pos_udf(span_tokens, winnow_window)
+    # Parallelize the winnowing pass when the input is under-partitioned
+    # AND big enough for the exchange to pay off (r6 finding: the pass
+    # ran single-task on one-file inputs at any size — but force-
+    # spreading a toy input costs more than the kernel, so the spread is
+    # size-gated; textfns.spread_small_input). Only the Python-heavy occ
+    # branch is repartitioned — the surgery joins keep the caller's df.
+    occ_src = textfns.spread_small_input(df)
     # localCheckpoint (lazy): occ is SELF-joined below (the probe side of
     # `removals` and the aggregate feeding `dup_fps` are both occ), and
     # Spark plans self-joins as two independent subtrees — without the
@@ -560,7 +567,7 @@ def remove_duplicate_spans(
     # review fix; the cut_lists checkpoint below only dedupes the two
     # CONSUMER joins, not this inner self-join).
     occ = pin(
-        df.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
+        occ_src.select(F.col(id_col).alias("id"), fp_udf(F.col(text_col)).alias("_s"))
         .filter(F.size("_s.fps") > 0)
         .select("id", F.explode(F.arrays_zip("_s.fps", "_s.poss")).alias("z"))
         .select("id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))

@@ -22,6 +22,7 @@ Two layers:
 
 from __future__ import annotations
 
+import os
 from itertools import chain
 
 import numpy as np
@@ -31,6 +32,44 @@ from pyspark.sql import functions as F
 from recordlinkage_spark.caching import pin
 
 _U13, _U51 = np.uint64(13), np.uint64(51)
+
+# Spread threshold for under-partitioned inputs feeding the Arrow
+# kernels: below this optimizer-estimated size, a repartition costs more
+# than it buys (r6 measurement: the exchange plus per-task Python
+# handshakes add ~0.15-0.25 s wall, while the kernels chew low-MB inputs
+# in well under that on one core). Estimated sizes are compressed/layout
+# bytes, so the default is deliberately small; unknown sizes (stats
+# Long.Max) always spread — the scale-safe default. Env-overridable for
+# deployments whose kernel-per-byte profile differs.
+SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_BYTES", 4 << 20))
+
+
+def spread_small_input(df, min_bytes: int | None = None):
+    """Repartition an under-partitioned DataFrame to the cluster's
+    default parallelism UNLESS the optimizer's size estimate says the
+    input is too small for the exchange to pay off.
+
+    The vectorized text kernels (MinHash/SimHash/winnowing signature
+    UDFs) are fed by this: a one-file scan or small cached table arrives
+    as a single partition, which at real size would serialize the whole
+    pass on one task — but at toy size the round-robin exchange plus N
+    parallel Python-worker handshakes cost MORE than the single-task
+    kernel (measured r6, guide §1.2: shape the job to the data). The
+    size estimate comes from the optimized logical plan (driver-side, no
+    job); unknown estimates spread, so the failure mode of a missing
+    statistic is extra parallelism, never a serialized pass."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    limit = SPREAD_MIN_BYTES if min_bytes is None else min_bytes
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable -> spread (scale-safe)
+        size = None
+    if size is not None and 0 <= size <= limit:
+        return df
+    return df.repartition(dp)
 
 
 def _rot13_xor_np(acc: np.ndarray, h) -> np.ndarray:
