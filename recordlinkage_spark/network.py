@@ -301,9 +301,14 @@ class ConnectedComponents:
         # loop runs. Set to 0 to force the loop.
         self.driver_threshold = driver_threshold
 
-    def compute(self, pairs: DataFrame, checkpoint=None) -> DataFrame:
+    def compute(self, pairs: DataFrame, checkpoint=None,
+                input_pinned: bool = False) -> DataFrame:
         """pairs(id_1,id_2) -> (id, cluster_id). Singletons not in any pair
-        are not emitted (join the records table to give them their own id)."""
+        are not emitted (join the records table to give them their own id).
+
+        ``input_pinned``: callers whose edge frame is ALREADY materialized
+        (e.g. a pipeline stage table) skip the defensive lineage pin below
+        — one less localCheckpoint materialization per compute."""
         if self.driver_threshold:
             # localCheckpoint (lazy) BEFORE the size probe: the probe
             # executes the caller's upstream DAG, and without a
@@ -322,7 +327,8 @@ class ConnectedComponents:
             # id pairs at the 5M default) even when the graph is huge,
             # in which case the collected prefix is discarded and the
             # distributed loop runs as before.
-            pairs = pin(pairs)
+            if not input_pinned:
+                pairs = pin(pairs)
             pdf = (
                 pairs.select("id_1", "id_2")
                 .limit(self.driver_threshold + 1)

@@ -184,6 +184,19 @@ class DedupPipeline:
         self._record(name, t0, df)
         return df
 
+    def _stage_rows(self, name: str) -> int | None:
+        """Row count a completed stage already recorded (metrics row for
+        a stage run this call; manifest entry for a resumed one) — lets
+        downstream decisions reuse the count instead of re-running a
+        count job over the stage table."""
+        for m in self.metrics:
+            if m.get("stage") == name and m.get("rows") is not None:
+                return m["rows"]
+        entry = self._manifest.get(name)
+        if entry and entry.get("rows") is not None:
+            return entry["rows"]
+        return None
+
     def _record(self, stage: str, t0: float, df: DataFrame) -> int:
         """Record (metrics row, lineage table) for one stage; returns the
         stage row count. ONE scan serves both the count and the
@@ -368,11 +381,17 @@ class DedupPipeline:
                 )
 
             # verify the LSH candidates with exact Jaccard on shingle-hash
-            # sets (JVM array_intersect/union), threshold filter. the pair
-            # frame is already materialized by its stage, so its count is
-            # cheap — pass the broadcast decision explicitly instead of
-            # letting exact_jaccard run its own heuristic job.
-            n_cand = to_verify.count()
+            # sets (JVM array_intersect/union), threshold filter. The pair
+            # stage already counted itself (_record / manifest), so reuse
+            # that count for the broadcast decision instead of running a
+            # count job over the stage table (r6).
+            cand_stage = (
+                "candidates_capped" if cfg.max_verify_degree is not None
+                else "candidates"
+            )
+            n_cand = self._stage_rows(cand_stage)
+            if n_cand is None:  # defensive: fall back to a count job
+                n_cand = to_verify.count()
             verified = self._stage(
                 spark, "verified",
                 lambda: exact_jaccard(
@@ -418,9 +437,11 @@ class DedupPipeline:
         cc = ConnectedComponents()
         clusters = self._stage(
             spark, "clusters",
-            lambda: cc.compute(matches.select("id_1", "id_2")).withColumnRenamed(
-                "id", id_col
-            ),
+            # matches is a materialized stage table -> skip CC's
+            # defensive lineage pin (one less checkpoint job, r6)
+            lambda: cc.compute(
+                matches.select("id_1", "id_2"), input_pinned=True
+            ).withColumnRenamed("id", id_col),
         )
         out = {"pairs": pairs, "matches": matches, "clusters": clusters,
                # the per-doc signature stage (id, bands, fps, sh) — the
@@ -629,7 +650,14 @@ class DedupPipeline:
             sh_all = signatures.select(
                 "id", F.col("sh").alias("_sh")
             ).unionByName(store_sigs.select("id", F.col("sh").alias("_sh")))
-            n_cand = to_verify.count()
+            # reuse the pair stage's own count (see run(); r6)
+            cand_stage = (
+                "inc_candidates_capped" if cfg.max_verify_degree is not None
+                else "inc_candidates"
+            )
+            n_cand = self._stage_rows(cand_stage)
+            if n_cand is None:
+                n_cand = to_verify.count()
             verified = self._stage(
                 spark, "inc_verified",
                 lambda: exact_jaccard(
